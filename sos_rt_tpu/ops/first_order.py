@@ -1,0 +1,280 @@
+"""Closed-form first scattering order I₁, branchless (jit/vmap-safe).
+
+Reproduces the oracle's 3-region construction
+(sos_rt_tpu/oracle/solver.py::_first_order; reference:
+SOS_Aer_main_specular.py:104-292, README.md:122-238 for Lambertian with
+the documented deviations).  Region boundary chaining becomes two dynamic
+row gathers; each region's elementwise formula is evaluated for every
+layer and selected by masks — exponents of the selected region are
+always ≤ 0, so out-of-region overflow is clamped away harmlessly.
+
+The Lambertian surface integrals over µ' are separable:
+    surf[t,m] = Σ_k A[m,k]·e_t[t,k] − lam_att[t,m]·Σ_k A[m,k]·c_k
+(two matmuls) instead of an (L, M, M) tensor; the removable singularity
+at µ'=µ in the upward integral is excised from A and added back as its
+analytic limit.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sos_rt_tpu.config import MU0_RESONANCE_TOL
+
+
+def _clamp_exp(x):
+    return jnp.exp(jnp.minimum(x, 0.0))
+
+
+def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
+                p0_atm, p_atm, p0_aer, p_aer, idx_up, idx_down,
+                w_atm, w_aer, w_mu):
+    """I₁ (L, 2M).  ``w_mu``: trapz weights of the full µ grid."""
+    L = tau.shape[0]
+    M = nb_angles
+    dtype = tau.dtype
+    f0 = jnp.pi / mu0
+    tau_star = tau[L - 1]
+    e0 = jnp.exp(-tau / mu0)
+    es = jnp.exp(-tau_star / mu0)
+    rho = grd_alb
+    t_idx = jnp.arange(L)
+    in_a = t_idx < idx_up
+    in_b = (t_idx >= idx_up) & (t_idx <= idx_down)
+
+    def mix(pa, pr):
+        return alb_atm * pa * w_atm + alb_aer * pr * w_aer
+
+    tau_iu1 = tau[idx_up - 1]
+    tau_iu = tau[idx_up]
+    tau_id = tau[idx_down]
+    tau_id1 = tau[idx_down + 1]
+
+    # ---- Lambertian surface-integral operators (shared by both sweeps) ----
+    if surface == "lambertian":
+        mu_p = mu[M:]                                  # µ' ∈ [0, 1]
+        wp = w_mu[M:]                                  # trapz weights on µ'
+        const = rho * es / 4.0
+        mirror_cols = 2 * M - 1 - jnp.arange(M, 2 * M)  # P(µ, -µ') columns
+        pm_atm = alb_atm * p_atm[:, mirror_cols]        # (2M, M)
+        pm_mix = mix(p_atm[:, mirror_cols], p_aer[:, mirror_cols])
+        guard = (mu_p > 0).astype(dtype)                # drop µ'=0 endpoint
+
+        def e_p(tref):
+            # e^{-(τ*-τ_t)/µ'} and the reference-level constant e^{-(τ*-tref)/µ'}
+            safe = jnp.where(mu_p > 0, mu_p, 1.0)
+            et = jnp.where(mu_p[None, :] > 0,
+                           jnp.exp(-(tau_star - tau[:, None]) / safe[None, :]), 0.0)
+            ck = jnp.where(mu_p > 0, jnp.exp(-(tau_star - tref) / safe), 0.0)
+            return et, ck
+
+    # ======================= downward columns 0..M-1 =======================
+    md = jnp.arange(M - 1)
+    mu_m = mu[md]
+    res_dn = jnp.abs(mu_m + mu0) < MU0_RESONANCE_TOL
+
+    def down_region(region):
+        if region == "A":
+            p0d = alb_atm * p0_atm[md]
+            p0m = alb_atm * p0_atm[2 * M - 1 - md]
+            att = _clamp_exp(tau[:, None] / mu_m[None, :])
+            dir_pair = e0[:, None] - att
+            res_lin = tau[:, None] / mu0
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0) - es * att)
+            lam_ref = jnp.zeros((), dtype)
+            lam_att = att
+            pmat = None if surface == "specular" else pm_atm[md]
+        elif region == "B":
+            p0d = mix(p0_atm[md], p0_aer[md])
+            p0m = mix(p0_atm[2 * M - 1 - md], p0_aer[2 * M - 1 - md])
+            att_b = _clamp_exp((tau[:, None] - tau_iu1) / mu_m[None, :])
+            dir_pair = e0[:, None] - e0[idx_up - 1] * att_b
+            res_lin = (tau[:, None] - tau_iu1) / mu0
+            att_s = _clamp_exp((tau[:, None] - tau_iu) / mu_m[None, :])
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0)
+                         - jnp.exp(-(tau_star - tau_iu) / mu0) * att_s)
+            lam_ref = tau_iu
+            lam_att = att_s
+            att = att_b
+            pmat = None if surface == "specular" else pm_mix[md]
+        else:
+            p0d = alb_atm * p0_atm[md]
+            p0m = alb_atm * p0_atm[2 * M - 1 - md]
+            att_b = _clamp_exp((tau[:, None] - tau_id) / mu_m[None, :])
+            dir_pair = e0[:, None] - e0[idx_down] * att_b
+            res_lin = (tau[:, None] - tau_id) / mu0
+            att_s = _clamp_exp((tau[:, None] - tau_id1) / mu_m[None, :])
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0)
+                         - jnp.exp(-(tau_star - tau_id1) / mu0) * att_s)
+            lam_ref = tau_id1
+            lam_att = att_s
+            att = att_b
+            pmat = None if surface == "specular" else pm_atm[md]
+
+        direct = (mu0 / (mu0 + mu_m))[None, :] * p0d[None, :] / (4 * jnp.pi) * f0 * dir_pair
+        d_res = p0d[None, :] / (4 * jnp.pi) * f0 * e0[:, None] * res_lin
+        direct = jnp.where(res_dn[None, :], d_res, direct)
+        if surface == "specular":
+            surf = ((mu0 / (mu0 - mu_m))[None, :] * p0m[None, :] / (4 * jnp.pi)
+                    * (f0 * rho * es) * surf_pair)
+        else:
+            ratio = mu_p[None, :] / (mu_p[None, :] - mu_m[:, None])   # (M-1, M)
+            a_op = ratio * pmat * const * (wp * guard)[None, :]
+            et, ck = e_p(lam_ref)
+            surf = et @ a_op.T - lam_att * (a_op @ ck)[None, :]
+        return att, direct + surf
+
+    att_a, vals_a = down_region("A")
+    row_a = vals_a[idx_up - 1]
+    att_b, vals_b = down_region("B")
+    vals_b = vals_b + row_a[None, :] * att_b
+    row_b = vals_b[idx_down]
+    att_c, vals_c = down_region("C")
+    vals_c = vals_c + row_b[None, :] * att_c
+    down_general = jnp.where(in_a[:, None], vals_a,
+                             jnp.where(in_b[:, None], vals_b, vals_c))
+
+    # µ = 0⁻ column (index M-1): before=0, drop e^{τ/µ} terms
+    def down_zero(region):
+        if region == "B":
+            p0d0 = mix(p0_atm[M - 1], p0_aer[M - 1])
+            p0m0 = mix(p0_atm[M], p0_aer[M])
+            pmat0 = None if surface == "specular" else pm_mix[M - 1]
+        else:
+            p0d0 = alb_atm * p0_atm[M - 1]
+            p0m0 = alb_atm * p0_atm[M]
+            pmat0 = None if surface == "specular" else pm_atm[M - 1]
+        d0 = p0d0 / (4 * jnp.pi) * f0 * e0
+        if surface == "specular":
+            s0 = p0m0 / (4 * jnp.pi) * (f0 * rho * es) * jnp.exp(
+                -(tau_star - tau) / mu0)
+        else:
+            et, _ = e_p(jnp.zeros((), dtype))
+            s0 = et @ (pmat0 * const * wp * guard)
+        return d0 + s0
+
+    z_ab = down_zero("A")          # regions A and C share the pure-atm form
+    z_b = down_zero("B")
+    down_zero_col = jnp.where(in_b, z_b, z_ab)
+
+    # ======================= upward columns M..2M-1 ========================
+    mue = jnp.arange(M + 1, 2 * M)
+    mu_u = mu[mue]
+    res_up = jnp.abs(mu_u - mu0) < MU0_RESONANCE_TOL
+    mirror_up = 2 * M - 1 - mue
+
+    if surface == "lambertian":
+        # diffuse BC from the downward field at τ*: +2ρ ∫₀¹ I1↓ µ' dµ'
+        i1_down_surf = jnp.concatenate([down_general[L - 1], down_zero_col[L - 1:L]])
+        f1_down = -jnp.sum(w_mu[:M] * i1_down_surf * mu[:M])
+        bc_lam = 2.0 * rho * f1_down
+        sing_k = mue - M                    # local index of µ' == µ in mu_p
+
+    def up_region(region):
+        if region == "C":
+            p0d = alb_atm * p0_atm[mue]
+            p0m = alb_atm * p0_atm[mirror_up]
+            att_b = _clamp_exp(-(tau[L - 1] - tau[:, None]) / mu_u[None, :])
+            dir_pair = e0[:, None] - e0[L - 1] * att_b
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0)
+                         - _clamp_exp(-(tau_star - tau[:, None]) / mu_u[None, :]))
+            res_lin = (tau_star - tau[:, None]) / mu0
+            lam_ref = tau_star
+            lam_att = _clamp_exp(-(tau_star - tau[:, None]) / mu_u[None, :])
+            pmat = None if surface == "specular" else pm_atm[mue]
+        elif region == "B":
+            p0d = mix(p0_atm[mue], p0_aer[mue])
+            p0m = mix(p0_atm[mirror_up], p0_aer[mirror_up])
+            att_b = _clamp_exp(-(tau_id1 - tau[:, None]) / mu_u[None, :])
+            dir_pair = e0[:, None] - e0[idx_down + 1] * att_b
+            att_s = _clamp_exp(-(tau_id - tau[:, None]) / mu_u[None, :])
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0)
+                         - jnp.exp(-(tau_star - tau_id) / mu0) * att_s)
+            res_lin = (tau_id - tau[:, None]) / mu0
+            lam_ref = tau_id
+            lam_att = att_s
+            pmat = None if surface == "specular" else pm_mix[mue]
+        else:
+            p0d = alb_atm * p0_atm[mue]
+            p0m = alb_atm * p0_atm[mirror_up]
+            att_b = _clamp_exp(-(tau_iu - tau[:, None]) / mu_u[None, :])
+            dir_pair = e0[:, None] - e0[idx_up] * att_b
+            att_s = _clamp_exp(-(tau_iu1 - tau[:, None]) / mu_u[None, :])
+            surf_pair = (jnp.exp(-(tau_star - tau[:, None]) / mu0)
+                         - jnp.exp(-(tau_star - tau_iu1) / mu0) * att_s)
+            res_lin = (tau_iu1 - tau[:, None]) / mu0
+            lam_ref = tau_iu1
+            lam_att = att_s
+            pmat = None if surface == "specular" else pm_atm[mue]
+
+        direct = (mu0 / (mu0 + mu_u))[None, :] * p0d[None, :] / (4 * jnp.pi) * f0 * dir_pair
+        if surface == "specular":
+            surf = ((mu0 / (mu0 - mu_u))[None, :] * p0m[None, :] / (4 * jnp.pi)
+                    * (f0 * rho * es) * surf_pair)
+            s_res = (p0m[None, :] / (4 * jnp.pi) * (f0 * rho * es)
+                     * jnp.exp(-(tau_star - tau[:, None]) / mu0) * res_lin)
+            surf = jnp.where(res_up[None, :], s_res, surf)
+        else:
+            denom = mu_p[None, :] - mu_u[:, None]
+            safe_d = jnp.where(denom == 0, 1.0, denom)
+            ratio = mu_p[None, :] / safe_d
+            a_op = ratio * pmat * const * (wp * guard)[None, :]
+            # excise µ'=µ and add back the analytic limit:
+            # (1/µ)·e^{-(τ*-τ)/µ}·(lam_ref-τ)·[ωP]·const·w'
+            k_cols = jnp.arange(M)[None, :]
+            a_op = jnp.where(k_cols == sing_k[:, None], 0.0, a_op)
+            et, ck = e_p(lam_ref)
+            pk = jnp.take_along_axis(pmat, sing_k[:, None], axis=1)[:, 0]
+            wk = wp[sing_k] * guard[sing_k]
+            lim = ((1.0 / mu_u)[None, :]
+                   * jnp.exp(-(tau_star - tau[:, None]) / mu_u[None, :])
+                   * (lam_ref - tau[:, None]) * pk[None, :] * const * wk[None, :])
+            surf = et @ a_op.T - lam_att * (a_op @ ck)[None, :] + lim
+        return att_b, direct + surf
+
+    att_c_u, vals_c_u = up_region("C")
+    if surface == "specular":
+        # mirror gather of the downward surface row (spec BC: ρ·I1↓(τ*, -µ))
+        full_surf_row = jnp.zeros((2 * M,), dtype).at[md].set(
+            down_general[L - 1]).at[M - 1].set(down_zero_col[L - 1])
+        bc = rho * full_surf_row[mirror_up]
+    else:
+        bc = jnp.full((M - 1,), bc_lam, dtype)
+    vals_c_u = vals_c_u + bc[None, :] * att_c_u
+    row_c = vals_c_u[idx_down + 1]
+    att_b_u, vals_b_u = up_region("B")
+    vals_b_u = vals_b_u + row_c[None, :] * att_b_u
+    row_b_u = vals_b_u[idx_up]
+    att_a_u, vals_a_u = up_region("A")
+    vals_a_u = vals_a_u + row_b_u[None, :] * att_a_u
+    up_general = jnp.where(in_a[:, None], vals_a_u,
+                           jnp.where(in_b[:, None], vals_b_u, vals_c_u))
+
+    # µ = 0⁺ column (index M): before = 0, drop e^{-Δ/µ} terms
+    def up_zero(region):
+        if region == "B":
+            p0d0 = mix(p0_atm[M], p0_aer[M])
+            p0m0 = mix(p0_atm[M - 1], p0_aer[M - 1])
+            pmat0 = None if surface == "specular" else pm_mix[M]
+        else:
+            p0d0 = alb_atm * p0_atm[M]
+            p0m0 = alb_atm * p0_atm[M - 1]
+            pmat0 = None if surface == "specular" else pm_atm[M]
+        d0 = (mu0 / (mu0 + mu[M])) * p0d0 / (4 * jnp.pi) * f0 * e0
+        if surface == "specular":
+            s0 = (p0m0 / (4 * jnp.pi) * (f0 * rho * es)
+                  * jnp.exp(-(tau_star - tau) / mu0))
+        else:
+            et, _ = e_p(jnp.zeros((), dtype))
+            s0 = et @ (pmat0 * const * wp * guard)
+        return d0 + s0
+
+    uz_ab = up_zero("A")
+    uz_b = up_zero("B")
+    up_zero_col = jnp.where(in_b, uz_b, uz_ab)
+
+    i1 = jnp.zeros((L, 2 * M), dtype)
+    i1 = i1.at[:, md].set(down_general)
+    i1 = i1.at[:, M - 1].set(down_zero_col)
+    i1 = i1.at[:, M].set(up_zero_col)
+    i1 = i1.at[:, mue].set(up_general)
+    return i1
