@@ -1,0 +1,114 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): column-solves/s/chip at 100 ppm convergence on a
+BASELINE config-5-style sweep — a batched sweep over (ground albedo,
+τ*_aer, ω_aer) with the FWC tabulated cloud phase function on a
+production sweep grid (nb_angles=64 → 128 µ points, nb_layers=128),
+f32, one chip.  Target: ≥ 1e5 column-solves/s/chip (vs_baseline = value/1e5).
+
+Secondary metrics (stderr): canonical-grid (501 angles × 800 layers)
+single-column solve latency and batched canonical throughput.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.ops.sweeps import build_stencils
+from sos_rt_tpu.parallel import broadcast_scene
+from sos_rt_tpu.solver import PhaseTables, solve_column
+
+TARGET = 1e5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_batch(batch: int) -> Scene:
+    base = broadcast_scene(Scene(), batch)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return dataclasses.replace(
+        base,
+        grd_alb=jax.random.uniform(k1, (batch,), minval=0.0, maxval=0.9),
+        tau_star_aer=jax.random.uniform(k2, (batch,), minval=0.01, maxval=0.4),
+        alb_aer=jax.random.uniform(k3, (batch,), minval=0.7, maxval=1.0),
+    )
+
+
+def bench_sweep(batch=8192, reps=5):
+    grid = GridSpec(nb_angles=64, nb_layers=128)
+    opts = SolverOptions(surface="lambertian", dtype="float32", max_orders=40)
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("fwc", {}), dtype=jnp.float32)
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    scenes = make_batch(batch)
+
+    def one(scene, tbl):
+        return solve_column(scene, tbl, grid, opts, stencils)
+
+    fn = jax.jit(jax.vmap(one, in_axes=(0, None)))
+    t0 = time.perf_counter()
+    sol = fn(scenes, tables)
+    jax.block_until_ready(sol.i_total)
+    log(f"sweep compile+first run: {time.perf_counter()-t0:.1f}s; "
+        f"orders max={int(jnp.max(sol.n_orders))} "
+        f"converged={int(jnp.sum(sol.converged))}/{batch}")
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sol = fn(scenes, tables)
+        jax.block_until_ready(sol.i_total)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rate = batch / dt
+    log(f"sweep: {batch} columns in {dt*1e3:.1f} ms -> {rate:,.0f} col/s")
+    return rate
+
+
+def bench_canonical():
+    grid = GridSpec(nb_angles=501, nb_layers=800)
+    opts = SolverOptions(surface="lambertian", dtype="float32", max_orders=40)
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("hg", {"g": 0.7}), dtype=jnp.float32)
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    scene = Scene(mu0=0.5, grd_alb=0.15)
+
+    fn = jax.jit(lambda s, t: solve_column(s, t, grid, opts, stencils))
+    t0 = time.perf_counter()
+    sol = fn(scene, tables)
+    jax.block_until_ready(sol.i_total)
+    log(f"canonical compile+first: {time.perf_counter()-t0:.1f}s "
+        f"(orders={int(sol.n_orders)})")
+    t0 = time.perf_counter()
+    sol = fn(scene, tables)
+    jax.block_until_ready(sol.i_total)
+    dt = time.perf_counter() - t0
+    log(f"canonical single-column solve: {dt*1e3:.1f} ms")
+    return dt
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    try:
+        bench_canonical()
+    except Exception as e:  # secondary metric must not kill the headline
+        log(f"canonical bench failed: {e!r}")
+    rate = bench_sweep()
+    print(json.dumps({
+        "metric": "column-solves/s/chip (config-5 sweep grid 128x128, 100ppm, f32)",
+        "value": round(rate, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(rate / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Command-line driver: `python -m sos_rt_tpu <command>`.
+
+Replaces the reference's "edit the driver file and run it" workflow
+(README.md:63-85) with explicit commands:
+
+  run              solve a scenario preset (or overridden parameters),
+                   write results to .npz, optionally plot
+  critical-albedo  Haywood critical-albedo search over τ*_aer values
+  sweep            batched column sweep (columns × parameters)
+  list             show presets and phase models
+
+All outputs are relative paths (the reference hardcodes
+``D:\\Polytechnique\\...``, SOS_Aer_graphe.py:23 etc.).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(preset, dtype):
+    import jax.numpy as jnp
+
+    from sos_rt_tpu.solver import PhaseTables
+
+    return PhaseTables.from_models(
+        preset.grid, float(np.asarray(preset.scene.mu0)),
+        atm=preset.atm, aer=preset.aer,
+        dtype=jnp.float64 if dtype == "float64" else jnp.float32)
+
+
+def _scene_overrides(scene, args):
+    over = {}
+    for f in ("mu0", "grd_alb", "alb_atm", "alb_aer", "tau_star_atm",
+              "tau_star_aer", "z0", "z_up", "z_down"):
+        v = getattr(args, f, None)
+        if v is not None:
+            over[f] = v
+    return dataclasses.replace(scene, **over) if over else scene
+
+
+def cmd_run(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sos_rt_tpu import outputs
+    from sos_rt_tpu.config import GridSpec, SolverOptions
+    from sos_rt_tpu.presets import get_preset
+    from sos_rt_tpu.solver import solve_column
+
+    p = get_preset(args.preset)
+    grid = p.grid
+    if args.nb_angles or args.nb_layers:
+        grid = GridSpec(nb_angles=args.nb_angles or grid.nb_angles,
+                        nb_layers=args.nb_layers or grid.nb_layers)
+        p = dataclasses.replace(p, grid=grid)
+    opts = p.opts
+    if args.surface:
+        opts = dataclasses.replace(opts, surface=args.surface)
+    if args.dtype:
+        opts = dataclasses.replace(opts, dtype=args.dtype)
+    if opts.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    scene = _scene_overrides(p.scene, args)
+
+    print(f"[sos] building {p.atm[0]}/{p.aer[0]} tables "
+          f"(grid {grid.nb_angles}x{grid.nb_layers})...", file=sys.stderr)
+    tables = _build(dataclasses.replace(p, scene=scene), opts.dtype)
+    t0 = time.perf_counter()
+    sol = jax.jit(solve_column, static_argnums=(2, 3))(scene, tables, grid, opts)
+    jax.block_until_ready(sol.i_total)
+    dt = time.perf_counter() - t0
+    print(f"[sos] solved in {dt:.2f}s: {int(sol.n_orders)} orders, "
+          f"converged={bool(sol.converged)}", file=sys.stderr)
+
+    mu = jnp.asarray(grid.mu(), sol.i_total.dtype)
+    w = jnp.asarray(grid.trapz_weights(), sol.i_total.dtype)
+    z = jnp.linspace(scene.z0, 0.0, grid.nb_layers)
+    fu, fd = outputs.flux_up_down(sol.i_total, mu, w, sol.tau, scene.mu0,
+                                  scene.grd_alb, grid.nb_angles)
+    dif = outputs.diffusivity(sol.i_total, mu, w)
+    hr = outputs.heating_rate(sol.i_total, mu, w, sol.tau, z, scene.mu0,
+                              scene.grd_alb, grid.nb_angles,
+                              sol.idx_up, sol.idx_down)
+    out = args.output or f"sos_{p.name}.npz"
+    np.savez_compressed(
+        out, I=np.asarray(sol.i_total), I1=np.asarray(sol.i1),
+        tau=np.asarray(sol.tau), mu=np.asarray(mu), z=np.asarray(z),
+        flux_up=np.asarray(fu), flux_down=np.asarray(fd),
+        diffusivity=np.asarray(dif), heating_rate=np.asarray(hr),
+        n_orders=int(sol.n_orders))
+    print(f"[sos] wrote {out}", file=sys.stderr)
+    if args.plot:
+        _plot(out)
+
+
+def _plot(path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with np.load(path) as z:
+        fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+        axes[0].plot(z["flux_up"], z["z"], label="flux up")
+        axes[0].plot(z["flux_down"], z["z"], label="flux down")
+        axes[0].set_xlabel("Flux"), axes[0].legend()
+        axes[1].plot(z["diffusivity"], z["z"])
+        axes[1].set_xlabel(r"Diffusivity $\bar{\mu}$")
+        axes[2].plot(z["heating_rate"], z["z"])
+        axes[2].set_xlabel("Heating rate")
+        for ax in axes:
+            ax.set_ylabel("Altitude (km)"), ax.grid(True)
+        png = path.replace(".npz", ".png")
+        fig.tight_layout(), fig.savefig(png, dpi=150)
+        print(f"[sos] wrote {png}", file=sys.stderr)
+
+
+def cmd_critical_albedo(args):
+    import jax
+
+    from sos_rt_tpu.forcing import critical_albedo
+    from sos_rt_tpu.presets import get_preset
+
+    p = get_preset(args.preset)
+    if p.opts.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    tables = _build(p, p.opts.dtype)
+    taus = [float(x) for x in args.tau_aer.split(",")]
+    results = {}
+    for t in taus:
+        scene = dataclasses.replace(p.scene, tau_star_aer=t)
+        alb = critical_albedo(scene, tables, p.grid, p.opts)
+        results[t] = float(np.asarray(alb))
+        print(f"[sos] tau*_aer={t}: critical albedo = {results[t]:.4f}",
+              file=sys.stderr)
+    out = args.output or "critical_albedo.json"
+    with open(out, "w") as f:
+        json.dump({"preset": args.preset, "critical_albedo": results}, f,
+                  indent=2)
+    print(f"[sos] wrote {out}", file=sys.stderr)
+
+
+def cmd_sweep(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sos_rt_tpu.parallel import broadcast_scene, make_mesh, solve_batch
+    from sos_rt_tpu.presets import get_preset
+
+    p = get_preset(args.preset)
+    batch = args.batch or p.batch or 1024
+    scenes = broadcast_scene(p.scene, batch)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    scenes = dataclasses.replace(
+        scenes,
+        grd_alb=jax.random.uniform(k1, (batch,), maxval=0.9),
+        tau_star_aer=jax.random.uniform(k2, (batch,), minval=0.01, maxval=0.4),
+        alb_aer=jax.random.uniform(k3, (batch,), minval=0.7, maxval=1.0))
+    tables = _build(p, p.opts.dtype)
+    mesh = make_mesh() if args.mesh else None
+    t0 = time.perf_counter()
+    sol = solve_batch(scenes, tables, p.grid, p.opts, mesh=mesh)
+    jax.block_until_ready(sol.i_total)
+    dt = time.perf_counter() - t0
+    print(f"[sos] {batch} columns in {dt:.2f}s "
+          f"({batch/dt:,.0f} col/s); max orders {int(jnp.max(sol.n_orders))}",
+          file=sys.stderr)
+    if args.output:
+        np.savez_compressed(args.output,
+                            n_orders=np.asarray(sol.n_orders),
+                            i_toa_up=np.asarray(sol.i_total[:, 0, :]),
+                            i_surface_down=np.asarray(sol.i_total[:, -1, :]))
+        print(f"[sos] wrote {args.output}", file=sys.stderr)
+
+
+def cmd_list(_args):
+    from sos_rt_tpu.models import available_models
+    from sos_rt_tpu.presets import PRESETS
+
+    print("presets:", ", ".join(sorted(PRESETS)))
+    print("phase models:", ", ".join(available_models()))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sos_rt_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="solve one scenario")
+    run.add_argument("--preset", default="eva")
+    run.add_argument("--surface", choices=["lambertian", "specular"])
+    run.add_argument("--dtype", choices=["float32", "float64"])
+    run.add_argument("--nb-angles", type=int, dest="nb_angles")
+    run.add_argument("--nb-layers", type=int, dest="nb_layers")
+    for f in ("mu0", "grd_alb", "alb_atm", "alb_aer", "tau_star_atm",
+              "tau_star_aer", "z0", "z_up", "z_down"):
+        run.add_argument(f"--{f.replace('_', '-')}", type=float, dest=f)
+    run.add_argument("--output", "-o")
+    run.add_argument("--plot", action="store_true")
+    run.set_defaults(fn=cmd_run)
+
+    ca = sub.add_parser("critical-albedo", help="Haywood critical albedo")
+    ca.add_argument("--preset", default="eva")
+    ca.add_argument("--tau-aer", default="0.120", dest="tau_aer",
+                    help="comma-separated τ*_aer values")
+    ca.add_argument("--output", "-o")
+    ca.set_defaults(fn=cmd_critical_albedo)
+
+    sw = sub.add_parser("sweep", help="batched column sweep")
+    sw.add_argument("--preset", default="fwc_sweep")
+    sw.add_argument("--batch", type=int)
+    sw.add_argument("--seed", type=int, default=0)
+    sw.add_argument("--mesh", action="store_true",
+                    help="shard over all visible devices")
+    sw.add_argument("--output", "-o")
+    sw.set_defaults(fn=cmd_sweep)
+
+    ls = sub.add_parser("list", help="list presets and models")
+    ls.set_defaults(fn=cmd_list)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Radiative forcing and the Haywood critical-albedo search (C17).
+
+Reference: SOS_Aer_critical_albedo.py:20-410.  Two deviations, both
+documented reference defects:
+
+1. The reference's "aerosol-free" baseline call passes *identical*
+   arguments except the ``tauStar_aer`` flag (critical_albedo.py:388) —
+   the baseline solve equals the perturbed solve, so ΔF ≡ 0 and the
+   bisection always terminates immediately.  Here the baseline is a real
+   aerosol-free solve (``tau_star_aer = 0`` → pure molecular profile).
+2. The reference reads the module-global ``tauStar_tot`` inside the
+   function (critical_albedo.py:39 vs 486, SURVEY.md quirk) — everything
+   is passed explicitly here.
+
+The bisection stays a host loop (its trip count is tiny and data
+dependent) around the jitted batched solver; each evaluation solves the
+whole batch of scenes at once on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.outputs import toa_net_flux
+from sos_rt_tpu.solver import PhaseTables, solve_column
+
+FORCING_TOL = 1e-3       # |ΔF| acceptance (critical_albedo.py:402)
+BRACKET_TOL = 0.1        # bisection bracket width (critical_albedo.py:397)
+
+
+def _toa_net(scene: Scene, tables: PhaseTables, grid: GridSpec,
+             opts: SolverOptions):
+    sol = solve_column(scene, tables, grid, opts)
+    mu = jnp.asarray(grid.mu(), sol.i_total.dtype)
+    w_mu = jnp.asarray(grid.trapz_weights(), sol.i_total.dtype)
+    return toa_net_flux(sol.i_total, mu, w_mu, sol.tau, scene.mu0,
+                        scene.grd_alb, grid.nb_angles)
+
+
+def radiative_forcing(scene: Scene, tables: PhaseTables, grid: GridSpec,
+                      opts: SolverOptions):
+    """ΔF = net TOA flux (with aerosol) − net TOA flux (aerosol-free)."""
+    base = dataclasses.replace(
+        scene, tau_star_aer=jnp.zeros_like(jnp.asarray(scene.tau_star_aer)))
+    return _toa_net(scene, tables, grid, opts) - _toa_net(base, tables, grid, opts)
+
+
+def critical_albedo(scene: Scene, tables: PhaseTables, grid: GridSpec,
+                    opts: SolverOptions, forcing_fn=None):
+    """Bisection on the aerosol single-scattering albedo ω_aer ∈ [0, 1]
+    until |ΔF| < 1e-3 or the bracket narrows below 0.1
+    (critical_albedo.py:394-410).  Works on batched scenes: each lane
+    maintains its own bracket; every step is one batched forcing solve.
+    """
+    if forcing_fn is None:
+        forcing_fn = jax.jit(radiative_forcing, static_argnums=(2, 3))
+    shape = jnp.shape(jnp.asarray(scene.mu0))
+    alb_min = jnp.zeros(shape)
+    alb_max = jnp.ones(shape)
+    result = jnp.full(shape, jnp.nan)
+    # bracket halves each step: ≤ ceil(log2(1/0.1)) + 1 = 5 steps
+    while True:
+        width = alb_max - alb_min
+        if not bool(jnp.any((width > BRACKET_TOL) & jnp.isnan(result))):
+            break
+        alb_test = 0.5 * (alb_max + alb_min)
+        trial = dataclasses.replace(scene, alb_aer=alb_test)
+        delta_f = forcing_fn(trial, tables, grid, opts)
+        hit = (jnp.abs(delta_f) < FORCING_TOL) & jnp.isnan(result)
+        result = jnp.where(hit, alb_test, result)
+        alb_min = jnp.where(delta_f > 0, alb_test, alb_min)
+        alb_max = jnp.where(delta_f <= 0, alb_test, alb_max)
+    return jnp.where(jnp.isnan(result), 0.5 * (alb_max + alb_min), result)

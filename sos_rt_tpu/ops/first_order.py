@@ -234,9 +234,9 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
     att_c_u, vals_c_u = up_region("C")
     if surface == "specular":
         # mirror gather of the downward surface row (spec BC: ρ·I1↓(τ*, -µ))
-        full_surf_row = jnp.zeros((2 * M,), dtype).at[md].set(
-            down_general[L - 1]).at[M - 1].set(down_zero_col[L - 1])
-        bc = rho * full_surf_row[mirror_up]
+        down_surf_row = jnp.concatenate(
+            [down_general[L - 1], down_zero_col[L - 1:L]])
+        bc = rho * down_surf_row[mirror_up]
     else:
         bc = jnp.full((M - 1,), bc_lam, dtype)
     vals_c_u = vals_c_u + bc[None, :] * att_c_u
@@ -272,9 +272,7 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
     uz_b = up_zero("B")
     up_zero_col = jnp.where(in_b, uz_b, uz_ab)
 
-    i1 = jnp.zeros((L, 2 * M), dtype)
-    i1 = i1.at[:, md].set(down_general)
-    i1 = i1.at[:, M - 1].set(down_zero_col)
-    i1 = i1.at[:, M].set(up_zero_col)
-    i1 = i1.at[:, mue].set(up_general)
-    return i1
+    # columns are contiguous: [0..M-2 | M-1 | M | M+1..2M-1]
+    return jnp.concatenate(
+        [down_general, down_zero_col[:, None], up_zero_col[:, None],
+         up_general], axis=1)

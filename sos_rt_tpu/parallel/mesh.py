@@ -1,0 +1,83 @@
+"""Multi-chip batched solving: columns data-parallel over a device mesh.
+
+The reference is single-machine NumPy with one multiprocessing.Pool
+(SOS_Aer_phase_func.py:573); everything here is new capability per the
+north star (SURVEY.md §2 "Parallelism & communication"):
+
+- **DP ('data' axis)** — the primary scaling axis: batches of independent
+  atmospheric columns (varying µ0, albedo, τ*, aerosol) sharded across
+  all chips.  Phase tables are replicated.
+- **TP ('model' axis)** — optional sharding of the angle axis of the Jₙ
+  matmul operators for very high angular resolution: the (2M, 2M)
+  operators are laid out P(None, 'model') and XLA/GSPMD inserts the
+  collectives.
+- **Convergence reduction** — the 100 ppm criterion's global
+  `any(ratio >= tol)` inside `lax.while_loop` becomes an all-reduce over
+  the sharded lane axis, emitted by XLA over ICI (the reference criterion
+  main_lambertian.py:311 as a cross-chip pmax).
+
+Per-column results are bit-identical to unbatched solves: lanes mask
+their accumulation once converged (see solver.body).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.ops.sweeps import build_stencils
+from sos_rt_tpu.solver import PhaseTables, solve_column
+
+
+def make_mesh(mesh_shape: Optional[tuple] = None,
+              axis_names: tuple = ("data", "model")) -> Mesh:
+    """Mesh over all visible devices; default puts everything on 'data'."""
+    n = len(jax.devices())
+    if mesh_shape is None:
+        mesh_shape = (n, 1)
+    # Auto axis types: classic GSPMD propagation (the solver is written
+    # sharding-agnostically; XLA places the collectives)
+    axis_types = tuple(jax.sharding.AxisType.Auto for _ in axis_names)
+    return jax.make_mesh(mesh_shape, axis_names, axis_types=axis_types)
+
+
+def broadcast_scene(scene: Scene, batch: int) -> Scene:
+    """Broadcast every scalar Scene field to a (batch,) array."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.result_type(float)),
+                                   (batch,) + jnp.shape(jnp.asarray(x))),
+        scene)
+
+
+def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
+                opts: SolverOptions, mesh: Optional[Mesh] = None,
+                shard_tables: bool = False):
+    """Solve a batch of columns; optionally sharded over ``mesh``.
+
+    scenes: Scene pytree with (B,) leaves (see :func:`broadcast_scene`).
+    With a mesh, B must be divisible by the 'data' axis size.
+    """
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+
+    def one(scene, tbl):
+        return solve_column(scene, tbl, grid, opts, stencils)
+
+    batched = jax.vmap(one, in_axes=(0, None))
+    if mesh is None:
+        return jax.jit(batched)(scenes, tables)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    tbl_mat = NamedSharding(mesh, P(None, "model")) if shard_tables else repl
+    scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)
+    table_sh = PhaseTables(p0_atm=repl, p_atm=tbl_mat, p0_aer=repl,
+                           p_aer=tbl_mat)
+    fn = jax.jit(batched, in_shardings=(scene_sh, table_sh))
+    with jax.set_mesh(mesh):
+        scenes = jax.device_put(scenes, scene_sh)
+        tables = jax.device_put(tables, table_sh)
+        return fn(scenes, tables)

@@ -148,9 +148,9 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
         raw = up_sweep_scan(jn[:, M + 1:], tau, mu_u, bc, idx_up, idx_down)
 
         # full (L, 2M) working field: down cols 0, µ=0⁺ = Jn, up cols = raw
-        field = jnp.zeros((L, 2 * M), dtype)
-        field = field.at[:, M].set(jn[:, M])
-        field = field.at[:, M + 1:].set(raw)
+        # (concat keeps sharding inference happy under vmap+GSPMD)
+        field = jnp.concatenate(
+            [jnp.zeros_like(jn[:, :M]), jn[:, M:M + 1], raw], axis=1)
 
         # region-join chaining of SMOOTHED boundary rows:
         # r1 = idx_down+1 feeds t <= idx_down; r2 = idx_up feeds t < idx_up
@@ -178,7 +178,7 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
                              scene.alb_aer, w_atm, w_aer, idx_up, idx_down)
         down = compute_down(jn)
         up = compute_up(jn, down)
-        return up.at[:, :M].set(down[:, :M])
+        return jnp.concatenate([down[:, :M], up[:, M:]], axis=1)
 
     tol = jnp.asarray(opts.tol, dtype)
 

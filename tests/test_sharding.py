@@ -1,0 +1,79 @@
+"""Batched + sharded solves on a simulated 8-device CPU mesh.
+
+SURVEY.md §4(d): sharded solve must equal the single-device solve
+bit-for-bit (here: allclose at f64 tightness) per column.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.models import build_phase_tables
+from sos_rt_tpu.parallel import broadcast_scene, make_mesh, solve_batch
+from sos_rt_tpu.solver import PhaseTables, solve_column
+
+M, L = 31, 60
+GRID = GridSpec(nb_angles=M, nb_layers=L)
+OPTS = SolverOptions(surface="specular", dtype="float64")
+
+
+@pytest.fixture(scope="module")
+def tables():
+    mu = GRID.mu()
+    p0a, pa = build_phase_tables("rayleigh", mu, 0.5)
+    p0r, pr = build_phase_tables("hg", mu, 0.5, g=0.7)
+    return PhaseTables(*[jnp.asarray(x) for x in (p0a, pa, p0r, pr)])
+
+
+def _scenes(batch):
+    base = broadcast_scene(Scene(), batch)
+    # vary µ0 is not allowed (tables are built per µ0); vary the rest
+    return dataclasses.replace(
+        base,
+        grd_alb=jnp.linspace(0.0, 0.9, batch),
+        tau_star_aer=jnp.linspace(0.01, 0.4, batch),
+        alb_aer=jnp.linspace(0.6, 1.0, batch),
+    )
+
+
+def test_eight_devices_visible():
+    assert len(jax.devices()) == 8
+
+
+def test_vmapped_batch_matches_per_column(tables):
+    scenes = _scenes(6)
+    batch_sol = solve_batch(scenes, tables, GRID, OPTS)
+    for i in range(6):
+        scene_i = jax.tree_util.tree_map(lambda x: x[i], scenes)
+        sol_i = jax.jit(solve_column, static_argnums=(2, 3))(
+            scene_i, tables, GRID, OPTS)
+        np.testing.assert_allclose(np.asarray(batch_sol.i_total[i]),
+                                   np.asarray(sol_i.i_total),
+                                   rtol=1e-12, atol=1e-14)
+        assert int(batch_sol.n_orders[i]) == int(sol_i.n_orders)
+
+
+def test_data_sharded_matches_unsharded(tables):
+    scenes = _scenes(16)
+    mesh = make_mesh((8, 1))
+    plain = solve_batch(scenes, tables, GRID, OPTS)
+    sharded = solve_batch(scenes, tables, GRID, OPTS, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.i_total),
+                               np.asarray(plain.i_total),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(sharded.n_orders),
+                                  np.asarray(plain.n_orders))
+
+
+def test_data_model_mesh_with_sharded_tables(tables):
+    scenes = _scenes(8)
+    mesh = make_mesh((4, 2))
+    sharded = solve_batch(scenes, tables, GRID, OPTS, mesh=mesh,
+                          shard_tables=True)
+    plain = solve_batch(scenes, tables, GRID, OPTS)
+    np.testing.assert_allclose(np.asarray(sharded.i_total),
+                               np.asarray(plain.i_total),
+                               rtol=1e-11, atol=1e-13)
