@@ -43,29 +43,33 @@ def make_batch(batch: int) -> Scene:
     )
 
 
-def bench_sweep(batch=8192, reps=5):
+def bench_sweep(batch=16384, reps=4, buckets=8):
+    from sos_rt_tpu.parallel import solve_batch
+
     grid = GridSpec(nb_angles=64, nb_layers=128)
-    opts = SolverOptions(surface="lambertian", dtype="float32", max_orders=40)
+    opts = SolverOptions(surface="lambertian", dtype="float32",
+                         max_orders=100, scan_impl="sequential")
     tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
                                      aer=("fwc", {}), dtype=jnp.float32)
-    stencils = build_stencils(grid.mu(), grid.nb_angles)
     scenes = make_batch(batch)
 
-    def one(scene, tbl):
-        return solve_column(scene, tbl, grid, opts, stencils)
+    def run(i):
+        sc = dataclasses.replace(scenes, grd_alb=scenes.grd_alb + i * 1e-7)
+        sol = solve_batch(sc, tables, grid, opts, buckets=buckets)
+        # force full completion through the async dispatch queue
+        chk = float(jnp.sum(sol.i_total[:, 0, :]))
+        return sol, chk
 
-    fn = jax.jit(jax.vmap(one, in_axes=(0, None)))
     t0 = time.perf_counter()
-    sol = fn(scenes, tables)
-    jax.block_until_ready(sol.i_total)
+    sol, _ = run(0)
     log(f"sweep compile+first run: {time.perf_counter()-t0:.1f}s; "
         f"orders max={int(jnp.max(sol.n_orders))} "
+        f"mean={float(jnp.mean(sol.n_orders)):.1f} "
         f"converged={int(jnp.sum(sol.converged))}/{batch}")
     times = []
-    for _ in range(reps):
+    for i in range(1, reps + 1):
         t0 = time.perf_counter()
-        sol = fn(scenes, tables)
-        jax.block_until_ready(sol.i_total)
+        run(i)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     rate = batch / dt

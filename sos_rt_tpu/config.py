@@ -112,6 +112,8 @@ class SolverOptions:
     max_orders: int = 100
     tol: float = 1e-4
     dtype: str = "float64"
+    scan_impl: str = "associative"   # 'associative' (single column) or
+                                     # 'sequential' (large batches)
 
     def __post_init__(self):
         if self.surface not in ("lambertian", "specular"):

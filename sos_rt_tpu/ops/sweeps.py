@@ -141,8 +141,23 @@ def band_choice(tau_ref):
 # Affine scans
 # --------------------------------------------------------------------------
 
-def _affine_scan(a, b, reverse: bool = False):
-    """I_t = a_t·I_{t-1} + b_t from I_{-1}=0 (or the reversed recurrence)."""
+def _affine_scan(a, b, reverse: bool = False, method: str = "associative"):
+    """I_t = a_t·I_{t-1} + b_t from I_{-1}=0 (or the reversed recurrence).
+
+    method='associative': O(log L) depth — best for a single column.
+    method='sequential':  L steps of (batch, M) work — lower HBM traffic
+    when the batch axis is large (vmap turns each step into a wide op).
+    """
+    if method == "sequential":
+        def step(carry, ab):
+            a_t, b_t = ab
+            new = a_t * carry + b_t
+            return new, new
+
+        _, ys = jax.lax.scan(step, jnp.zeros_like(b[0]), (a, b),
+                             reverse=reverse)
+        return ys
+
     def combine(left, right):
         al, bl = left
         ar, br = right
@@ -151,7 +166,7 @@ def _affine_scan(a, b, reverse: bool = False):
     return jax.lax.associative_scan(combine, (a, b), axis=0, reverse=reverse)[1]
 
 
-def down_sweep_scan(jn_down, tau, mu_down):
+def down_sweep_scan(jn_down, tau, mu_down, method: str = "associative"):
     """Downward field for all µ≤0 columns via one forward affine scan.
 
     Telescopes the reference's cumulative trapz + region boundary chaining
@@ -165,11 +180,12 @@ def down_sweep_scan(jn_down, tau, mu_down):
     a = jnp.concatenate([jnp.ones((1, n), att.dtype), att])
     b = jnp.concatenate([jnp.zeros((1, n), att.dtype),
                          0.5 * dtau[:, None] * (jn_down[:-1] * att + jn_down[1:])])
-    s = _affine_scan(a, b)
+    s = _affine_scan(a, b, method=method)
     return -s / safe_mu[None, :]
 
 
-def up_sweep_scan(jn_up, tau, mu_up, boundary, idx_up, idx_down):
+def up_sweep_scan(jn_up, tau, mu_up, boundary, idx_up, idx_down,
+                  method: str = "associative"):
     """Raw upward field (µ>0, excluding µ=0) via one reverse affine scan.
 
     I_t = e^{-Δτ_{t+1}/µ} I_{t+1} + c_t, with c zeroed at the two region
@@ -188,14 +204,15 @@ def up_sweep_scan(jn_up, tau, mu_up, boundary, idx_up, idx_down):
     c = jnp.where(join[:, None], 0.0, c)
     a = jnp.concatenate([att, jnp.ones((1, mu_up.shape[0]), att.dtype)])
     b = jnp.concatenate([c, boundary[None, :]])
-    return _affine_scan(a, b, reverse=True)
+    return _affine_scan(a, b, reverse=True, method=method)
 
 
 # --------------------------------------------------------------------------
 # Small-µ downward asymptotics (|µ| < MU_THRESHOLD)
 # --------------------------------------------------------------------------
 
-def down_small_mu(jn_small, tau, mu_small, taylor_mask, idx_up, idx_down):
+def down_small_mu(jn_small, raw_small, tau, mu_small, taylor_mask,
+                  idx_up, idx_down):
     """Windowed/Taylor downward radiance for the static small-µ columns.
 
     Replicates improved_asymptotic_downward_radiance
@@ -204,29 +221,29 @@ def down_small_mu(jn_small, tau, mu_small, taylor_mask, idx_up, idx_down):
     idx_down+1): trapezoid over the contiguous suffix of layers with
     τ_j ≥ τ_t − 5|µ|, inside the region slice.
 
-    jn_small: (L, S); mu_small: (S,).  O(L²·S) masked quadrature.
+    KEY IDENTITY: the windowed trapezoid is a prefix difference of the
+    full telescoped integral the standard scan already computed —
+        I_window(t) = raw(t) − e^{(τ_t−τ_{k0})/µ} · raw(k0),
+    where k0 = max(region start, first layer with τ ≥ τ_t − 5|µ|) —
+    so this costs O(L·S) gathers instead of an O(L²·S) masked quadrature.
+
+    jn_small: (L, S) sources; raw_small: (L, S) standard-scan field at
+    the same columns; mu_small: (S,).
     """
     L = tau.shape[0]
     t_idx = jnp.arange(L)
     region_start = jnp.where(t_idx < idx_up, 0,
                              jnp.where(t_idx <= idx_down, idx_up, idx_down + 1))
-    # interval j (between layers j-1, j), included iff
-    #   j <= t  and  τ_{j-1} >= τ_t - 5|µ|  and  j-1 >= region_start(t)
-    j = jnp.arange(1, L)
-    incl = ((j[None, :] <= t_idx[:, None])
-            & (j[None, :] - 1 >= region_start[:, None]))          # (L, L-1)
-    cutoff_ok = tau[None, :-1, None] >= (tau[:, None, None]
-                                         - 5.0 * jnp.abs(mu_small)[None, None, :])
-    mask = incl[:, :, None] & cutoff_ok                            # (L, L-1, S)
-    expo_lo = jnp.clip((tau[:, None, None] - tau[None, :-1, None])
-                       / mu_small[None, None, :], EXP_CLAMP, 0.0)
-    expo_hi = jnp.clip((tau[:, None, None] - tau[None, 1:, None])
-                       / mu_small[None, None, :], EXP_CLAMP, 0.0)
-    dtau = jnp.diff(tau)
-    contrib = 0.5 * dtau[None, :, None] * (
-        jn_small[None, :-1, :] * jnp.exp(expo_lo)
-        + jn_small[None, 1:, :] * jnp.exp(expo_hi))
-    windowed = -jnp.sum(jnp.where(mask, contrib, 0.0), axis=1) / mu_small[None, :]
+    cutoff = tau[:, None] - 5.0 * jnp.abs(mu_small)[None, :]       # (L, S)
+    first = jnp.searchsorted(tau, cutoff.T, side="left").T          # (L, S)
+    k0 = jnp.maximum(first, region_start[:, None])
+    k0 = jnp.minimum(k0, t_idx[:, None])
+    tau_k0 = jnp.take_along_axis(
+        jnp.broadcast_to(tau[:, None], (L, mu_small.shape[0])), k0, axis=0)
+    att = jnp.exp(jnp.clip((tau[:, None] - tau_k0) / mu_small[None, :],
+                           EXP_CLAMP, 0.0))
+    raw_k0 = jnp.take_along_axis(raw_small, k0, axis=0)
+    windowed = raw_small - att * raw_k0
 
     # Taylor limit for |µ| < 0.001: I ≈ -J + µ dJ/dτ (In_limit.py:79-93)
     prev = jnp.clip(t_idx - 1, 0, L - 1)
@@ -243,17 +260,28 @@ def down_small_mu(jn_small, tau, mu_small, taylor_mask, idx_up, idx_down):
 # µ→0⁻ polyfit band and µ→0⁺ smoothing
 # --------------------------------------------------------------------------
 
-def polyfit_band_values(i_down, stencils: SweepStencils, choice):
-    """Extrapolated values for the band columns M-1-i, i < band(choice).
+def polyfit_band_variants(i_down, stencils: SweepStencils):
+    """Extrapolated band values for ALL four static band widths.
 
-    Returns (poly (L, band_max), valid (band_max,)) — the caller scatters
-    them into the final field.  ``choice`` is the traced band index.
+    Returns (polys (4, L, band_max), valids (4, band_max)).  Each variant
+    uses *static* source columns, so no dynamic gathers reach the TPU;
+    the caller selects by the traced band choice with cheap wheres.
     """
-    w = jnp.asarray(stencils.poly_w)[choice]          # (band_max, 6)
-    src = jnp.asarray(stencils.poly_src)[choice]      # (6,)
-    valid = jnp.asarray(stencils.poly_mask)[choice]   # (band_max,)
-    vals = i_down[:, src] @ w.T                       # (L, band_max)
-    return vals, valid
+    polys, valids = [], []
+    for c in range(4):
+        src = jnp.asarray(stencils.poly_src[c])              # static cols
+        w = jnp.asarray(stencils.poly_w[c], i_down.dtype)    # (band_max, 6)
+        polys.append(i_down[:, src] @ w.T)
+        valids.append(jnp.asarray(stencils.poly_mask[c]))
+    return jnp.stack(polys), jnp.stack(valids)
+
+
+def select_band_choice(stacked, choice):
+    """stacked[choice] for a traced choice ∈ {0..3}, gather-free."""
+    out = stacked[0]
+    for c in range(1, 4):
+        out = jnp.where(choice == c, stacked[c], out)
+    return out
 
 
 def smooth_up_rows(i_up_rows, mu, nb_angles):
@@ -263,6 +291,10 @@ def smooth_up_rows(i_up_rows, mu, nb_angles):
     For each row: find the first m ≥ M+1 whose second difference is
     ≤ 1e-4, set idx = m+1, and linearly blend columns (M, idx) between
     I[M] and I[idx] with weight µ/µ_idx.
+
+    Per-row dynamic indexing is done with one-hot reductions over the
+    angle axis instead of gathers (lane-axis take_along_axis serializes
+    on TPU and dominated the order step before this).
     """
     m = nb_angles
     m2 = i_up_rows.shape[1]
@@ -273,9 +305,10 @@ def smooth_up_rows(i_up_rows, mu, nb_angles):
     first = jnp.argmax(ok, axis=1)                            # first stop
     stop = jnp.where(jnp.any(ok, axis=1), first + m + 1, m2 - 3)
     idx = stop + 1                                            # blend endpoint
-    i_val = jnp.take_along_axis(up, idx[:, None], axis=1)[:, 0]
-    mu_idx = mu[idx]
     cols = jnp.arange(m2)[None, :]
+    onehot = (cols == idx[:, None]).astype(up.dtype)
+    i_val = jnp.sum(up * onehot, axis=1)
+    mu_idx = jnp.sum(mu[None, :] * onehot, axis=1)
     weight = mu[None, :] / mu_idx[:, None]
     blended = (1.0 - weight) * up[:, m][:, None] + weight * i_val[:, None]
     do = (cols >= m + 1) & (cols < idx[:, None])

@@ -2,19 +2,25 @@
 
 ``solve_column(scene, tables, grid, opts)`` is the product (SURVEY.md §7
 "Design shape"): one pure function over one atmospheric column.  Batch by
-``jax.vmap`` over a leading axis of ``Scene`` fields; shard with
-``shard_map`` over a device mesh (sos_rt_tpu.parallel).
+``jax.vmap`` over a leading axis of ``Scene`` fields; shard with GSPMD
+over a device mesh (sos_rt_tpu.parallel).
 
 Per order (the reference's while-loop body, main_lambertian.py:311-460):
   1. Jₙ — two (L,2M)@(2M,2M) matmuls, blended in the aerosol layer;
-  2. downward sweep — one forward affine scan + windowed small-µ columns
-     + the µ→0⁻ polyfit band;
+  2. downward sweep — one forward affine scan + the windowed small-µ
+     prefix-difference + the µ→0⁻ polyfit band;
   3. upward sweep — surface BC (Lambertian dot / specular mirror gather),
      one reverse affine scan, smoothing-delta chaining at the two region
      joins, and the µ→0⁺ smoothing walk on every row;
   4. convergence ratio at TOA-up and surface-down (100 ppm criterion),
      per-column masked accumulation so vmapped lanes stop at exactly the
      order the reference would.
+
+Everything that does not depend on Jₙ (attenuation factors, quadrature
+coefficients, region masks, polyfit selections, small-µ window indices,
+smoothing-join attenuations, BC weights) is precomputed once before the
+`lax.while_loop` — the loop body is matmuls + scans + cheap fused
+elementwise work.
 """
 from __future__ import annotations
 
@@ -28,16 +34,16 @@ import numpy as np
 from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
 from sos_rt_tpu.grids import tau_profile
 from sos_rt_tpu.ops.first_order import first_order
-from sos_rt_tpu.ops.source import source_function, source_operator
+from sos_rt_tpu.ops.source import source_operator
 from sos_rt_tpu.ops.sweeps import (
+    EXP_CLAMP,
     SweepStencils,
+    _affine_scan,
     band_choice,
     build_stencils,
-    down_small_mu,
-    down_sweep_scan,
-    polyfit_band_values,
+    polyfit_band_variants,
+    select_band_choice,
     smooth_up_rows,
-    up_sweep_scan,
 )
 
 
@@ -112,70 +118,126 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
 
-    # polyfit band choices: region A keys on τ[idx_up-1], regions B/C on
-    # τ[idx_down] (main_lambertian.py:344/363/382)
+    # ---------------- loop-invariant precomputation ----------------
+    t_idx = jnp.arange(L)
+    dtau_g = jnp.diff(tau)
+    mu_d = mu[:M]
+    safe_mu_d = jnp.where(mu_d == 0, -1.0, mu_d)
+    att_d = jnp.exp(dtau_g[:, None] / safe_mu_d[None, :])        # (L-1, M)
+    mu_u = mu[M + 1:]
+    att_u = jnp.exp(-dtau_g[:, None] / mu_u[None, :])            # (L-1, M-1)
+    join = ((t_idx[:-1] == idx_down) | (t_idx[:-1] == idx_up - 1))[:, None]
+    c_up = jnp.where(join, 0.0, 0.5 * dtau_g[:, None] / mu_u[None, :])
+    ones_d = jnp.ones((1, M), dtype)
+    zeros_d = jnp.zeros((1, M), dtype)
+    a_down_full = jnp.concatenate([ones_d, att_d])
+    a_up_full = jnp.concatenate([att_u, jnp.ones((1, M - 1), dtype)])
+
+    # source blending mask (main_lambertian.py:322)
+    in_layer = ((t_idx >= idx_up) & (t_idx <= idx_down))[:, None]
+
+    # small-µ window indices (loop-invariant; see ops.sweeps.down_small_mu)
+    small_cols = jnp.asarray(stencils.small_cols)
+    has_small = stencils.small_cols.size > 0
+    if has_small:
+        mu_s = mu[small_cols]
+        taylor_mask = jnp.asarray(stencils.taylor_mask)
+        region_start = jnp.where(t_idx < idx_up, 0,
+                                 jnp.where(t_idx <= idx_down, idx_up,
+                                           idx_down + 1))
+        cutoff = tau[:, None] - 5.0 * jnp.abs(mu_s)[None, :]
+        first_k = jnp.searchsorted(tau, cutoff.T, side="left").T
+        k0 = jnp.minimum(jnp.maximum(first_k, region_start[:, None]),
+                         t_idx[:, None])
+        tau_k0 = jnp.take_along_axis(
+            jnp.broadcast_to(tau[:, None], (L, mu_s.shape[0])), k0, axis=0)
+        att_k0 = jnp.exp(jnp.clip((tau[:, None] - tau_k0) / mu_s[None, :],
+                                  EXP_CLAMP, 0.0))
+        prev_t = jnp.clip(t_idx - 1, 0, L - 1)
+        taylor_den = jnp.where(t_idx[:, None] > 0, (tau - tau[prev_t])[:, None],
+                               1.0)
+        taylor_on = (t_idx > region_start)[:, None]
+
+    # polyfit band selection (loop-invariant masks)
     choice_a = band_choice(tau[idx_up - 1])
     choice_bc = band_choice(tau[idx_down])
-    small_cols = jnp.asarray(stencils.small_cols)
-    taylor_mask = jnp.asarray(stencils.taylor_mask)
+    valid_a = select_band_choice(
+        jnp.stack([jnp.asarray(stencils.poly_mask[c]) for c in range(4)]),
+        choice_a)
+    valid_bc = select_band_choice(
+        jnp.stack([jnp.asarray(stencils.poly_mask[c]) for c in range(4)]),
+        choice_bc)
+    in_a_col = (t_idx < idx_up)[:, None]
+    band_valid = jnp.where(in_a_col, valid_a[None, :], valid_bc[None, :])
     band_cols = M - 1 - jnp.arange(stencils.band_max)
-    t_idx = jnp.arange(L)
+
+    # upward BC machinery
     mirror_up = 2 * M - 1 - jnp.arange(M + 1, 2 * M)
+    lamb_w = w_mu[:M] * mu[:M]
+    # smoothing-join chain attenuations (region joins r1=idx_down+1, r2=idx_up)
+    att_join1 = jnp.exp(-jnp.maximum(tau[idx_down + 1] - tau, 0.0)[:, None]
+                        / mu_u[None, :])
+    att_join2 = jnp.exp(-jnp.maximum(tau[idx_up] - tau, 0.0)[:, None]
+                        / mu_u[None, :])
+    mask_join1 = (t_idx <= idx_down)[:, None]
+    mask_join2 = (t_idx < idx_up)[:, None]
+
+    def source_fn(in_prev):
+        jn_atm = (scene.alb_atm / 4.0) * (in_prev @ a_atm)
+        jn_aer = (scene.alb_aer / 4.0) * (in_prev @ a_aer)
+        return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer, jn_atm)
 
     def compute_down(jn):
-        raw = down_sweep_scan(jn[:, :M], tau, mu[:M])
-        if stencils.small_cols.size:
-            small = down_small_mu(jn[:, small_cols], tau, mu[small_cols],
-                                  taylor_mask, idx_up, idx_down)
+        jn_d = jn[:, :M]
+        b = jnp.concatenate([zeros_d,
+                             0.5 * dtau_g[:, None] * (jn_d[:-1] * att_d
+                                                      + jn_d[1:])])
+        s = _affine_scan(a_down_full, b, method=opts.scan_impl)
+        raw = -s / safe_mu_d[None, :]
+        if has_small:
+            raw_s = raw[:, small_cols]
+            windowed = raw_s - att_k0 * jnp.take_along_axis(raw_s, k0, axis=0)
+            jn_s = jn_d[:, small_cols]
+            dj = jnp.where(taylor_on, (jn_s - jn_s[prev_t]) / taylor_den, 0.0)
+            taylor = -jn_s + mu_s[None, :] * dj
+            small = jnp.where(taylor_mask[None, :], taylor, windowed)
             raw = raw.at[:, small_cols].set(small)
-        # µ=0⁻ column: untouched by the reference's loops → 0 before band
         raw = raw.at[:, M - 1].set(0.0)
-        poly_a, valid_a = polyfit_band_values(raw, stencils, choice_a)
-        poly_bc, valid_bc = polyfit_band_values(raw, stencils, choice_bc)
-        in_a = (t_idx < idx_up)[:, None]
-        poly = jnp.where(in_a, poly_a, poly_bc)
-        valid = jnp.where(in_a, valid_a[None, :], valid_bc[None, :])
+        polys, _ = polyfit_band_variants(raw, stencils)
+        poly = jnp.where(in_a_col, select_band_choice(polys, choice_a),
+                         select_band_choice(polys, choice_bc))
         cur = raw[:, band_cols]
-        return raw.at[:, band_cols].set(jnp.where(valid, poly, cur))
+        return raw.at[:, band_cols].set(jnp.where(band_valid, poly, cur))
 
     def compute_up(jn, down_final):
-        mu_u = mu[M + 1:]
         if opts.surface == "lambertian":
-            f_down = -jnp.sum(w_mu[:M] * down_final[L - 1] * mu[:M])
+            f_down = -jnp.sum(lamb_w * down_final[L - 1])
             bc = jnp.full((M - 1,), 2.0 * scene.grd_alb * f_down, dtype)
         else:
             bc = scene.grd_alb * down_final[L - 1][mirror_up]
-        raw = up_sweep_scan(jn[:, M + 1:], tau, mu_u, bc, idx_up, idx_down)
+        jn_u = jn[:, M + 1:]
+        c = c_up * (jn_u[:-1] + jn_u[1:] * att_u)
+        b = jnp.concatenate([c, bc[None, :]])
+        raw = _affine_scan(a_up_full, b, reverse=True, method=opts.scan_impl)
 
-        # full (L, 2M) working field: down cols 0, µ=0⁺ = Jn, up cols = raw
-        # (concat keeps sharding inference happy under vmap+GSPMD)
         field = jnp.concatenate(
             [jnp.zeros_like(jn[:, :M]), jn[:, M:M + 1], raw], axis=1)
 
-        # region-join chaining of SMOOTHED boundary rows:
-        # r1 = idx_down+1 feeds t <= idx_down; r2 = idx_up feeds t < idx_up
+        # region-join chaining of SMOOTHED boundary rows
         def delta_at(field_now, row):
             r = field_now[row][None, :]
-            sm = smooth_up_rows(r, mu, M)[0]
-            return (sm - field_now[row])[M + 1:]
+            return (smooth_up_rows(r, mu, M)[0] - field_now[row])[M + 1:]
 
         d1 = delta_at(field, idx_down + 1)
-        att1 = jnp.exp(-jnp.maximum(tau[idx_down + 1] - tau, 0.0)[:, None]
-                       / mu_u[None, :])
-        corr1 = jnp.where((t_idx <= idx_down)[:, None], d1[None, :] * att1, 0.0)
-        field = field.at[:, M + 1:].add(corr1)
-
+        field = field.at[:, M + 1:].add(
+            jnp.where(mask_join1, d1[None, :] * att_join1, 0.0))
         d2 = delta_at(field, idx_up)
-        att2 = jnp.exp(-jnp.maximum(tau[idx_up] - tau, 0.0)[:, None]
-                       / mu_u[None, :])
-        corr2 = jnp.where((t_idx < idx_up)[:, None], d2[None, :] * att2, 0.0)
-        field = field.at[:, M + 1:].add(corr2)
-
+        field = field.at[:, M + 1:].add(
+            jnp.where(mask_join2, d2[None, :] * att_join2, 0.0))
         return smooth_up_rows(field, mu, M)
 
     def order_step(in_prev):
-        jn = source_function(in_prev, a_atm, a_aer, scene.alb_atm,
-                             scene.alb_aer, w_atm, w_aer, idx_up, idx_down)
+        jn = source_fn(in_prev)
         down = compute_down(jn)
         up = compute_up(jn, down)
         return jnp.concatenate([down[:, :M], up[:, M:]], axis=1)

@@ -77,3 +77,14 @@ def test_data_model_mesh_with_sharded_tables(tables):
     np.testing.assert_allclose(np.asarray(sharded.i_total),
                                np.asarray(plain.i_total),
                                rtol=1e-11, atol=1e-13)
+
+
+def test_bucketed_matches_plain(tables):
+    scenes = _scenes(12)
+    plain = solve_batch(scenes, tables, GRID, OPTS)
+    bucketed = solve_batch(scenes, tables, GRID, OPTS, buckets=4)
+    np.testing.assert_allclose(np.asarray(bucketed.i_total),
+                               np.asarray(plain.i_total),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(bucketed.n_orders),
+                                  np.asarray(plain.n_orders))
