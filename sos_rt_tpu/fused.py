@@ -1,0 +1,218 @@
+"""Production batched solver: Pallas-fused sweeps, half-field layout.
+
+``solve_batch_fused`` is the throughput path (f32, TPU): it operates on
+explicitly batched (B, ...) arrays, runs the wide per-order work in two
+Pallas kernels (ops/pallas_sweeps.py) and keeps the radiance field as
+(down, up) halves so no concatenation pass is ever needed — the Jₙ
+matmul consumes the halves directly:
+
+    Jₙ = down @ A[:M] + up @ A[M:]            (same FLOPs, no concat)
+
+``sos_rt_tpu.solver.solve_column`` remains the reference implementation
+(f64 oracle parity, arbitrary dtypes); this module must match it — see
+tests/test_fused.py (Pallas kernels run in interpret mode on CPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.grids import tau_profile
+from sos_rt_tpu.ops.first_order import first_order
+from sos_rt_tpu.ops.pallas_sweeps import (
+    build_pack,
+    down_sweep_pallas,
+    up_sweep_smooth_pallas,
+)
+from sos_rt_tpu.ops.source import source_operator
+from sos_rt_tpu.ops.sweeps import (
+    EXP_CLAMP,
+    band_choice,
+    build_stencils,
+    polyfit_band_variants,
+    select_band_choice,
+)
+from sos_rt_tpu.solver import PhaseTables, Solution
+
+
+def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
+                      opts: SolverOptions, block_b: int = 8,
+                      interpret: bool | None = None):
+    """Batched SOS solve over (B,)-leaved ``scenes``.
+
+    ``interpret`` forces Pallas interpreter mode (auto: on except on TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    dtype = jnp.dtype(opts.dtype)
+    L, M = grid.nb_layers, grid.nb_angles
+    mu = jnp.asarray(grid.mu(), dtype)
+    w_mu = jnp.asarray(grid.trapz_weights(), dtype)
+    B = jnp.shape(jnp.asarray(scenes.mu0))[0]
+
+    # ---- per-column geometry (vmapped over the batch) ----
+    tau, idx_up, idx_down = jax.vmap(
+        lambda ta, tr, z0, zu, zd: tau_profile(ta, tr, z0, zu, zd, L)
+    )(jnp.asarray(scenes.tau_star_atm, dtype),
+      jnp.asarray(scenes.tau_star_aer, dtype),
+      jnp.asarray(scenes.z0, dtype), jnp.asarray(scenes.z_up, dtype),
+      jnp.asarray(scenes.z_down, dtype))
+    tau = tau.astype(dtype)
+    dtau_aer = scenes.tau_star_aer / (idx_down + 1 - idx_up)
+    dtau_atm = scenes.tau_star_atm / L
+    w_atm = (dtau_atm / (dtau_atm + dtau_aer)).astype(dtype)
+    w_aer = (dtau_aer / (dtau_atm + dtau_aer)).astype(dtype)
+
+    i1 = jax.vmap(
+        lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr: first_order(
+            opts.surface, tv, mu, M, mu0, ra, aa, ar, tables.p0_atm,
+            tables.p_atm, tables.p0_aer, tables.p_aer, iu, idn, wa, wr, w_mu)
+    )(tau, jnp.asarray(scenes.mu0, dtype), jnp.asarray(scenes.grd_alb, dtype),
+      jnp.asarray(scenes.alb_atm, dtype), jnp.asarray(scenes.alb_aer, dtype),
+      idx_up, idx_down, w_atm, w_aer)
+
+    a_full_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
+    a_full_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
+    a1_atm, a2_atm = a_full_atm[:M], a_full_atm[M:]
+    a1_aer, a2_aer = a_full_aer[:M], a_full_aer[M:]
+
+    # ---- loop-invariant batched masks ----
+    t_idx = jnp.arange(L)
+    in_layer = ((t_idx[None, :] >= idx_up[:, None])
+                & (t_idx[None, :] <= idx_down[:, None]))[..., None]
+    alb_atm = jnp.asarray(scenes.alb_atm, dtype)[:, None, None]
+    alb_aer = jnp.asarray(scenes.alb_aer, dtype)[:, None, None]
+    wa3 = w_atm[:, None, None]
+    wr3 = w_aer[:, None, None]
+
+    mu_down_safe = np.where(np.asarray(grid.mu()[:M]) == 0, -1.0,
+                            np.asarray(grid.mu()[:M]))
+    mu_down_safe = jnp.asarray(mu_down_safe, dtype)
+    mu_up_row = jnp.concatenate([jnp.zeros((1,), dtype), mu[M + 1:]])
+
+    pack, cparams = build_pack(tau, idx_up, idx_down, dtype)
+
+    # small-µ machinery (loop-invariant)
+    small_cols = jnp.asarray(stencils.small_cols)
+    has_small = stencils.small_cols.size > 0
+    if has_small:
+        mu_s = mu[small_cols]
+        taylor_mask = jnp.asarray(stencils.taylor_mask)
+        region_start = jnp.where(
+            t_idx[None, :] < idx_up[:, None], 0,
+            jnp.where(t_idx[None, :] <= idx_down[:, None], idx_up[:, None],
+                      idx_down[:, None] + 1))               # (B, L)
+        cutoff = tau[:, :, None] - 5.0 * jnp.abs(mu_s)[None, None, :]
+        first_k = jax.vmap(lambda tv, cu: jnp.searchsorted(
+            tv, cu.T, side="left").T)(tau, cutoff)
+        k0 = jnp.minimum(jnp.maximum(first_k, region_start[:, :, None]),
+                         t_idx[None, :, None])
+        tau_k0 = jnp.take_along_axis(
+            jnp.broadcast_to(tau[:, :, None], k0.shape), k0, axis=1)
+        att_k0 = jnp.exp(jnp.clip(
+            (tau[:, :, None] - tau_k0) / mu_s[None, None, :], EXP_CLAMP, 0.0))
+        prev_t = jnp.clip(t_idx - 1, 0, L - 1)
+        taylor_den = jnp.where(t_idx[None, :, None] > 0,
+                               (tau - tau[:, prev_t])[:, :, None], 1.0)
+        taylor_on = (t_idx[None, :] > region_start)[:, :, None]
+
+    # polyfit band selection
+    choice_a = band_choice(jnp.take_along_axis(tau, (idx_up - 1)[:, None],
+                                               axis=1)[:, 0])
+    choice_bc = band_choice(jnp.take_along_axis(tau, idx_down[:, None],
+                                                axis=1)[:, 0])
+    pmask = jnp.stack([jnp.asarray(stencils.poly_mask[c]) for c in range(4)])
+    valid_a = select_band_choice(pmask, choice_a[:, None])   # (B, band_max)
+    valid_bc = select_band_choice(pmask, choice_bc[:, None])
+    in_a_col = (t_idx[None, :] < idx_up[:, None])[..., None]
+    band_valid = jnp.where(in_a_col, valid_a[:, None, :], valid_bc[:, None, :])
+    band_cols = M - 1 - jnp.arange(stencils.band_max)
+
+    mirror_bc = np.arange(M - 2, -1, -1)                     # cols M-2..0
+    grd = jnp.asarray(scenes.grd_alb, dtype)
+    lamb_w = (w_mu[:M] * mu[:M])[None, :]
+
+    down_p = functools.partial(down_sweep_pallas, block_b=block_b,
+                               interpret=interpret)
+    up_p = functools.partial(up_sweep_smooth_pallas, block_b=block_b,
+                             interpret=interpret)
+
+    def source_fn(dn, up):
+        jn_atm = dn @ a1_atm + up @ a2_atm
+        jn_aer = dn @ a1_aer + up @ a2_aer
+        jn_atm = (alb_atm / 4.0) * jn_atm
+        jn_aer = (alb_aer / 4.0) * jn_aer
+        return jnp.where(in_layer, wa3 * jn_atm + wr3 * jn_aer, jn_atm)
+
+    def narrow_down_fixes(raw, jn):
+        if has_small:
+            raw_s = raw[:, :, small_cols]
+            windowed = raw_s - att_k0 * jnp.take_along_axis(raw_s, k0, axis=1)
+            jn_s = jn[:, :, small_cols]
+            dj = jnp.where(taylor_on, (jn_s - jn_s[:, prev_t]) / taylor_den,
+                           0.0)
+            taylor = -jn_s + mu_s[None, None, :] * dj
+            raw = raw.at[:, :, small_cols].set(
+                jnp.where(taylor_mask[None, None, :], taylor, windowed))
+        raw = raw.at[:, :, M - 1].set(0.0)
+        polys, _ = jax.vmap(lambda r: polyfit_band_variants(r, stencils))(raw)
+        poly = jnp.where(in_a_col,
+                         select_band_choice(polys.swapaxes(0, 1),
+                                            choice_a[:, None, None]),
+                         select_band_choice(polys.swapaxes(0, 1),
+                                            choice_bc[:, None, None]))
+        cur = raw[:, :, band_cols]
+        return raw.at[:, :, band_cols].set(jnp.where(band_valid, poly, cur))
+
+    def order_step(dn_prev, up_prev):
+        jn = source_fn(dn_prev, up_prev)
+        raw = down_p(jn[:, :, :M], pack, mu_down_safe)
+        dn = narrow_down_fixes(raw, jn)
+        surf = dn[:, L - 1, :]
+        if opts.surface == "lambertian":
+            f_down = -jnp.sum(lamb_w * surf, axis=1)
+            bc = jnp.broadcast_to((2.0 * grd * f_down)[:, None], (B, M))
+        else:
+            bc = grd[:, None] * surf[:, mirror_bc]
+            bc = jnp.concatenate([jnp.zeros((B, 1), dtype), bc], axis=1)
+        up = up_p(jn[:, :, M:], pack, cparams, mu_up_row, bc)
+        return dn, up
+
+    tol = jnp.asarray(opts.tol, dtype)
+
+    def ratio_fn(dn_new, up_new, dn_tot, up_tot):
+        r_toa = jnp.max(up_new[:, 0, :] / up_tot[:, 0, :], axis=1)
+        r_srf = jnp.max(dn_new[:, L - 1, :] / dn_tot[:, L - 1, :], axis=1)
+        return jnp.maximum(r_toa, r_srf)
+
+    def cond(carry):
+        _, _, _, _, ratio, n = carry
+        return jnp.any(ratio >= tol) & (jnp.max(n) < opts.max_orders)
+
+    def body(carry):
+        dn_prev, up_prev, dn_tot, up_tot, ratio, n = carry
+        dn_new, up_new = order_step(dn_prev, up_prev)
+        active = (ratio >= tol)[:, None, None]
+        dn_tot = jnp.where(active, dn_tot + dn_new, dn_tot)
+        up_tot = jnp.where(active, up_tot + up_new, up_tot)
+        new_ratio = ratio_fn(dn_new, up_new, dn_tot, up_tot)
+        ratio = jnp.where(active[:, 0, 0], new_ratio, ratio)
+        n = n + jnp.where(active[:, 0, 0], 1, 0)
+        return dn_new, up_new, dn_tot, up_tot, ratio, n
+
+    dn1, up1 = i1[:, :, :M], i1[:, :, M:]
+    ratio0 = ratio_fn(jnp.ones_like(dn1), jnp.ones_like(up1), dn1, up1)
+    carry = (dn1, up1, dn1, up1, ratio0, jnp.ones((B,), jnp.int32))
+    _, _, dn_tot, up_tot, ratio, n = jax.lax.while_loop(cond, body, carry)
+
+    return Solution(
+        i_total=jnp.concatenate([dn_tot, up_tot], axis=-1), i1=i1,
+        n_orders=n, converged=ratio < tol, tau=tau,
+        idx_up=idx_up, idx_down=idx_down)

@@ -64,6 +64,21 @@ def order_count_score(scenes: Scene):
     return tau_tot * omega + 0.3 * jnp.asarray(scenes.grd_alb)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_solver(grid: GridSpec, opts: SolverOptions):
+    """Cached jitted vmapped solver — reused across solve_batch calls so
+    repeated sweeps (and every bucket) hit the same compiled executable."""
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+
+    def one(scene, tbl):
+        return solve_column(scene, tbl, grid, opts, stencils)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+
 def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 opts: SolverOptions, mesh: Optional[Mesh] = None,
                 shard_tables: bool = False, buckets: int = 1):
@@ -78,13 +93,6 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     Per-column results are unchanged (solver lanes mask their own
     convergence); only wall-clock improves.
     """
-    stencils = build_stencils(grid.mu(), grid.nb_angles)
-
-    def one(scene, tbl):
-        return solve_column(scene, tbl, grid, opts, stencils)
-
-    batched = jax.vmap(one, in_axes=(0, None))
-
     if buckets > 1:
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         if b % buckets:
@@ -92,7 +100,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         perm = jnp.argsort(order_count_score(scenes))
         sorted_scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         chunk = b // buckets
-        fn = jax.jit(batched) if mesh is None else None
+        fn = _batched_solver(grid, opts) if mesh is None else None
         outs = []
         for i in range(buckets):
             part = jax.tree_util.tree_map(
@@ -108,7 +116,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return jax.tree_util.tree_map(lambda x: x[inv], stacked)
 
     if mesh is None:
-        return jax.jit(batched)(scenes, tables)
+        return _batched_solver(grid, opts)(scenes, tables)
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
@@ -116,8 +124,9 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)
     table_sh = PhaseTables(p0_atm=repl, p_atm=tbl_mat, p0_aer=repl,
                            p_aer=tbl_mat)
-    fn = jax.jit(batched, in_shardings=(scene_sh, table_sh))
     with jax.set_mesh(mesh):
         scenes = jax.device_put(scenes, scene_sh)
         tables = jax.device_put(tables, table_sh)
-        return fn(scenes, tables)
+        # sharding comes from the committed inputs; the cached jitted fn
+        # is shared with the unsharded path
+        return _batched_solver(grid, opts)(scenes, tables)

@@ -252,12 +252,13 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
         in_prev, i_tot, ratio, n = carry
         in_new = order_step(in_prev)
         active = ratio >= tol
+        # inactive lanes keep iterating on in_new but never accumulate —
+        # i_tot and ratio are frozen, so results equal the per-lane stop
         i_tot = jnp.where(active, i_tot + in_new, i_tot)
-        in_prev = jnp.where(active, in_new, in_prev)
         new_ratio = _ratio(in_new, i_tot, M)
         ratio = jnp.where(active, new_ratio, ratio)
         n = n + jnp.where(active, 1, 0)
-        return in_prev, i_tot, ratio, n
+        return in_new, i_tot, ratio, n
 
     ratio0 = _ratio(jnp.ones_like(i1), i1, M)
     carry = (i1, i1, ratio0, jnp.asarray(1, jnp.int32))
