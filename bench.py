@@ -43,7 +43,7 @@ def make_batch(batch: int) -> Scene:
     )
 
 
-def bench_sweep(batch=16384, reps=4, buckets=8):
+def bench_sweep(batch=16384, reps=4, buckets=8, engine="fused"):
     from sos_rt_tpu.parallel import solve_batch
 
     grid = GridSpec(nb_angles=64, nb_layers=128)
@@ -55,7 +55,8 @@ def bench_sweep(batch=16384, reps=4, buckets=8):
 
     def run(i):
         sc = dataclasses.replace(scenes, grd_alb=scenes.grd_alb + i * 1e-7)
-        sol = solve_batch(sc, tables, grid, opts, buckets=buckets)
+        sol = solve_batch(sc, tables, grid, opts, buckets=buckets,
+                          engine=engine)
         # force full completion through the async dispatch queue
         chk = float(jnp.sum(sol.i_total[:, 0, :]))
         return sol, chk

@@ -42,7 +42,7 @@ from sos_rt_tpu.solver import PhaseTables, Solution
 
 
 def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
-                      opts: SolverOptions, block_b: int = 8,
+                      opts: SolverOptions, block_b: int = 32,
                       interpret: bool | None = None):
     """Batched SOS solve over (B,)-leaved ``scenes``.
 
@@ -70,13 +70,18 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     w_atm = (dtau_atm / (dtau_atm + dtau_aer)).astype(dtype)
     w_aer = (dtau_aer / (dtau_atm + dtau_aer)).astype(dtype)
 
+    # P0 may be batched over µ0 (one row per column) — only P0 depends on
+    # µ0; the P matrices are shared (BASELINE config-5 µ0 sweeps)
+    p0_batched = jnp.ndim(tables.p0_atm) == 2
+    p0a_ax = 0 if p0_batched else None
     i1 = jax.vmap(
-        lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr: first_order(
-            opts.surface, tv, mu, M, mu0, ra, aa, ar, tables.p0_atm,
-            tables.p_atm, tables.p0_aer, tables.p_aer, iu, idn, wa, wr, w_mu)
+        lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr, p0a, p0r: first_order(
+            opts.surface, tv, mu, M, mu0, ra, aa, ar, p0a,
+            tables.p_atm, p0r, tables.p_aer, iu, idn, wa, wr, w_mu),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, p0a_ax, p0a_ax),
     )(tau, jnp.asarray(scenes.mu0, dtype), jnp.asarray(scenes.grd_alb, dtype),
       jnp.asarray(scenes.alb_atm, dtype), jnp.asarray(scenes.alb_aer, dtype),
-      idx_up, idx_down, w_atm, w_aer)
+      idx_up, idx_down, w_atm, w_aer, tables.p0_atm, tables.p0_aer)
 
     a_full_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_full_aer = source_operator(tables.p_aer.astype(dtype), w_mu)

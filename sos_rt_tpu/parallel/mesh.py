@@ -21,6 +21,7 @@ their accumulation once converged (see solver.body).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -68,20 +69,38 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _batched_solver(grid: GridSpec, opts: SolverOptions):
+def _batched_solver(grid: GridSpec, opts: SolverOptions,
+                    p0_batched: bool = False):
     """Cached jitted vmapped solver — reused across solve_batch calls so
-    repeated sweeps (and every bucket) hit the same compiled executable."""
+    repeated sweeps (and every bucket) hit the same compiled executable.
+
+    ``p0_batched``: the P0(µ, µ0) tables carry a leading batch axis (one
+    row per column's µ0 — only P0 depends on µ0, the P matrices are
+    shared), enabling µ0 sweeps (BASELINE config 5).
+    """
     stencils = build_stencils(grid.mu(), grid.nb_angles)
 
     def one(scene, tbl):
         return solve_column(scene, tbl, grid, opts, stencils)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, None)))
+    table_axes = PhaseTables(p0_atm=0 if p0_batched else None, p_atm=None,
+                             p0_aer=0 if p0_batched else None, p_aer=None)
+    return jax.jit(jax.vmap(one, in_axes=(0, table_axes)))
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
+    """Cached jitted Pallas-fused batched solver (sos_rt_tpu.fused)."""
+    from sos_rt_tpu.fused import solve_batch_fused
+
+    return jax.jit(lambda s, t: solve_batch_fused(s, t, grid, opts,
+                                                  block_b=block_b))
 
 
 def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 opts: SolverOptions, mesh: Optional[Mesh] = None,
-                shard_tables: bool = False, buckets: int = 1):
+                shard_tables: bool = False, buckets: int = 1,
+                engine: str = "reference", block_b: int = 16):
     """Solve a batch of columns; optionally sharded over ``mesh``.
 
     scenes: Scene pytree with (B,) leaves (see :func:`broadcast_scene`).
@@ -99,16 +118,32 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             raise ValueError(f"batch {b} not divisible by buckets {buckets}")
         perm = jnp.argsort(order_count_score(scenes))
         sorted_scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
+        p0b = jnp.ndim(tables.p0_atm) == 2
+        sorted_tables = tables
+        if p0b:
+            sorted_tables = dataclasses.replace(
+                tables, p0_atm=tables.p0_atm[perm], p0_aer=tables.p0_aer[perm])
         chunk = b // buckets
-        fn = _batched_solver(grid, opts) if mesh is None else None
+        if mesh is not None:
+            fn = None
+        elif engine == "fused":
+            fn = _fused_solver(grid, opts, block_b)
+        else:
+            fn = _batched_solver(grid, opts, p0b)
         outs = []
         for i in range(buckets):
             part = jax.tree_util.tree_map(
                 lambda x: x[i * chunk:(i + 1) * chunk], sorted_scenes)
+            part_tbl = sorted_tables
+            if p0b:
+                part_tbl = dataclasses.replace(
+                    sorted_tables,
+                    p0_atm=sorted_tables.p0_atm[i * chunk:(i + 1) * chunk],
+                    p0_aer=sorted_tables.p0_aer[i * chunk:(i + 1) * chunk])
             if mesh is None:
-                outs.append(fn(part, tables))
+                outs.append(fn(part, part_tbl))
             else:
-                outs.append(solve_batch(part, tables, grid, opts, mesh=mesh,
+                outs.append(solve_batch(part, part_tbl, grid, opts, mesh=mesh,
                                         shard_tables=shard_tables))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
@@ -116,7 +151,10 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return jax.tree_util.tree_map(lambda x: x[inv], stacked)
 
     if mesh is None:
-        return _batched_solver(grid, opts)(scenes, tables)
+        if engine == "fused":
+            return _fused_solver(grid, opts, block_b)(scenes, tables)
+        return _batched_solver(grid, opts,
+                               jnp.ndim(tables.p0_atm) == 2)(scenes, tables)
 
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())

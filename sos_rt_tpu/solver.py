@@ -67,6 +67,29 @@ class PhaseTables:
         p0r, pr = build_phase_tables(aer[0], mu, mu0, **aer[1])
         return cls(*(jnp.asarray(x, dtype) for x in (p0a, pa, p0r, pr)))
 
+    @classmethod
+    def from_models_batched_mu0(cls, grid: GridSpec, mu0_values,
+                                atm=("rayleigh", {}), aer=("rayleigh", {}),
+                                dtype=jnp.float64):
+        """Tables for a µ0 sweep: P0 gets a leading (B,) axis (one row per
+        column's µ0 — P0(µ,µ0) is the only µ0-dependent table), the P
+        matrices are built once and shared.  Repeated µ0 values hit the
+        content-addressed cache.
+        """
+        import numpy as np
+
+        from sos_rt_tpu.models import build_phase_tables
+
+        mu = grid.mu()
+        mu0_values = np.asarray(mu0_values, dtype=np.float64)
+        _, pa = build_phase_tables(atm[0], mu, float(mu0_values[0]), **atm[1])
+        _, pr = build_phase_tables(aer[0], mu, float(mu0_values[0]), **aer[1])
+        p0a = np.stack([build_phase_tables(atm[0], mu, float(m0), **atm[1])[0]
+                        for m0 in mu0_values])
+        p0r = np.stack([build_phase_tables(aer[0], mu, float(m0), **aer[1])[0]
+                        for m0 in mu0_values])
+        return cls(*(jnp.asarray(x, dtype) for x in (p0a, pa, p0r, pr)))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -90,8 +113,9 @@ def _ratio(in_cur, i_tot, nb_angles):
     return jnp.maximum(r_toa, r_srf)
 
 
-def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
-                 opts: SolverOptions, stencils: SweepStencils = None):
+def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
+                  opts: SolverOptions, stencils: SweepStencils = None):
+    """Shared setup: returns (i1, order_step, tau, idx_up, idx_down)."""
     if stencils is None:
         stencils = build_stencils(grid.mu(), grid.nb_angles)
     dtype = jnp.dtype(opts.dtype)
@@ -242,6 +266,15 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
         up = compute_up(jn, down)
         return jnp.concatenate([down[:, :M], up[:, M:]], axis=1)
 
+    return i1, order_step, tau, idx_up, idx_down
+
+
+def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
+                 opts: SolverOptions, stencils: SweepStencils = None):
+    dtype = jnp.dtype(opts.dtype)
+    M = grid.nb_angles
+    i1, order_step, tau, idx_up, idx_down = _setup_column(
+        scene, tables, grid, opts, stencils)
     tol = jnp.asarray(opts.tol, dtype)
 
     def cond(carry):
@@ -267,3 +300,42 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     return Solution(i_total=i_tot, i1=i1, n_orders=n,
                     converged=ratio < tol, tau=tau,
                     idx_up=idx_up, idx_down=idx_down)
+
+
+def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
+                        opts: SolverOptions, stencils: SweepStencils = None):
+    """Solve keeping the per-order fields Iₙ (the reference's ``I_saved``
+    list, main_lambertian.py:306-460, used by graphe_successive_dif).
+
+    Returns (Solution, i_orders (max_orders, L, 2M), order_valid
+    (max_orders,)) — slot k holds order k+1, masked by validity.  Uses a
+    static ``opts.max_orders`` buffer (fori_loop, no early exit).
+    """
+    dtype = jnp.dtype(opts.dtype)
+    M = grid.nb_angles
+    i1, order_step, tau, idx_up, idx_down = _setup_column(
+        scene, tables, grid, opts, stencils)
+    tol = jnp.asarray(opts.tol, dtype)
+    K = opts.max_orders
+
+    buf = jnp.zeros((K,) + i1.shape, dtype).at[0].set(i1)
+    valid = jnp.zeros((K,), bool).at[0].set(True)
+    ratio0 = _ratio(jnp.ones_like(i1), i1, M)
+
+    def body(k, carry):
+        in_prev, i_tot, ratio, n, buf, valid = carry
+        in_new = order_step(in_prev)
+        active = ratio >= tol
+        i_tot = jnp.where(active, i_tot + in_new, i_tot)
+        buf = buf.at[k].set(jnp.where(active, in_new, 0.0))
+        valid = valid.at[k].set(active)
+        new_ratio = _ratio(in_new, i_tot, M)
+        ratio = jnp.where(active, new_ratio, ratio)
+        n = n + jnp.where(active, 1, 0)
+        return in_new, i_tot, ratio, n, buf, valid
+
+    carry = (i1, i1, ratio0, jnp.asarray(1, jnp.int32), buf, valid)
+    _, i_tot, ratio, n, buf, valid = jax.lax.fori_loop(1, K, body, carry)
+    sol = Solution(i_total=i_tot, i1=i1, n_orders=n, converged=ratio < tol,
+                   tau=tau, idx_up=idx_up, idx_down=idx_down)
+    return sol, buf, valid

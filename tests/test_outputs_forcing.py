@@ -115,3 +115,23 @@ def test_critical_albedo_bisection(sol_scene):
     f_high = float(f(dataclasses.replace(scene, alb_aer=min(a + 0.3, 1.0)),
                      tables, GRID, OPTS))
     assert f_low * f_high <= 0 or abs(f_low) < 5e-3 or abs(f_high) < 5e-3
+
+
+def test_per_order_fields(sol_scene):
+    from sos_rt_tpu.outputs import per_order_diffusivity
+    from sos_rt_tpu.solver import solve_column_orders
+
+    sol, scene, tables = sol_scene
+    opts_k = dataclasses.replace(OPTS, max_orders=30)
+    sol2, orders, valid = jax.jit(
+        solve_column_orders, static_argnums=(2, 3))(scene, tables, GRID, opts_k)
+    n = int(sol2.n_orders)
+    assert n == int(sol.n_orders)
+    assert int(np.sum(np.asarray(valid))) == n
+    # per-order fields sum to the total (plus nothing else)
+    total = np.asarray(orders).sum(axis=0)
+    np.testing.assert_allclose(total, np.asarray(sol2.i_total),
+                               rtol=1e-10, atol=1e-12)
+    dif = per_order_diffusivity(orders[:n], jnp.asarray(MU), jnp.asarray(W))
+    assert dif.shape == (n, L)
+    assert np.all(np.abs(np.asarray(dif)) <= 1.0)

@@ -88,3 +88,26 @@ def test_bucketed_matches_plain(tables):
                                rtol=1e-12, atol=1e-14)
     np.testing.assert_array_equal(np.asarray(bucketed.n_orders),
                                   np.asarray(plain.n_orders))
+
+
+def test_batched_mu0_sweep():
+    """Config-5 capability: sweep over µ0 with per-column P0 tables."""
+    from sos_rt_tpu.solver import PhaseTables as PT, solve_column
+
+    mu0s = np.array([0.3, 0.5, 0.8, 0.5])
+    tbl = PT.from_models_batched_mu0(GRID, mu0s, atm=("rayleigh", {}),
+                                     aer=("hg", {"g": 0.7}))
+    scenes = dataclasses.replace(_scenes(4), mu0=jnp.asarray(mu0s))
+    batch = solve_batch(scenes, tbl, GRID, OPTS)
+    # lane 1 must equal an unbatched solve at µ0=0.5 with its own tables
+    single_tbl = PT.from_models(GRID, 0.5, atm=("rayleigh", {}),
+                                aer=("hg", {"g": 0.7}))
+    scene_1 = jax.tree_util.tree_map(lambda x: x[1], scenes)
+    sol_1 = jax.jit(solve_column, static_argnums=(2, 3))(
+        scene_1, single_tbl, GRID, OPTS)
+    np.testing.assert_allclose(np.asarray(batch.i_total[1]),
+                               np.asarray(sol_1.i_total),
+                               rtol=1e-12, atol=1e-14)
+    # different µ0 lanes differ
+    assert not np.allclose(np.asarray(batch.i_total[0]),
+                           np.asarray(batch.i_total[1]))
