@@ -19,20 +19,23 @@ The *narrow* small-µ and polyfit-band fixes (a handful of columns) stay
 in XLA between the kernels (sos_rt_tpu/fused.py) — their tensors are
 (B, L, ≤30) and cost nothing.
 
-Performance notes:
-- attenuations / quadrature weights are precomputed VECTORIZED into VMEM
-  scratch before the sequential loop (the loop body is then 4 fused
-  vector ops);
-- the scan loop is unrolled ×8 (per-iteration work is small, Mosaic loop
-  overhead would dominate otherwise);
-- the join-row extraction and the final chaining+smoothing pass are
-  fully vectorized over all layers (no fori).
+Performance/lowering notes:
+- attenuations are precomputed VECTORIZED into VMEM scratch with an
+  identity step at the boundary row, so the scan loop reads 8-row
+  ALIGNED blocks only (unaligned dynamic sublane offsets make Mosaic
+  compilation pathological); the J row one past the block edge is
+  carried between chunk iterations;
+- the scan loop is unrolled ×8 (per-iteration vector work is small,
+  Mosaic loop overhead would dominate otherwise);
+- the final chaining+smoothing pass is vectorized in 8-row chunks
+  (bounding VMEM temporaries).
 
 Layouts (Mosaic: dynamic offsets only on sublane axes):
-- fields (bt, L, M): layers on sublanes, angles on lanes;
+- fields (bt, L, M): layers on sublanes, angles on lanes; L % 8 == 0
+  required for the fused path (pad the grid otherwise);
 - per-layer scalars packed as ``pack`` (bt, L, 8) lanes =
   [τ, join-drop, chain1(t≤idx_down), chain2(t<idx_up), onehot(r1),
-   onehot(r2), τ-halfstep, 0];
+   onehot(r2), Δτ/2 at slot t (down), Δτ/2 of [t,t+1] at slot t (up)];
 - per-column scalars ``cparams`` (bt, 8) = [τ_r1, τ_r2, 0...].
 
 The up kernel's lane 0 is the µ=0⁺ column (I = Jₙ, no recurrence);
@@ -50,70 +53,47 @@ BIG = 1e9
 UNROLL = 8
 
 # pack lane indices
-PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT = range(7)
+PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP = range(8)
 PK_W = 8
-
-
-def _row(ref, t):
-    """(bt, m) dynamic layer-row read from a (bt, L, m) ref."""
-    return ref[:, pl.ds(t, 1), :][:, 0, :]
-
-
-def _set_row(ref, t, val):
-    ref[:, pl.ds(t, 1), :] = val[:, None, :]
-
-
-def _pk(pack_ref, t, lane):
-    """(bt, 1) packed per-layer scalar."""
-    return pack_ref[:, pl.ds(t, 1), lane]
 
 
 def _down_kernel(pack_ref, mu_ref, jn_ref, out_ref, att_ref):
     bt, L, md = jn_ref.shape
     dtype = jn_ref.dtype
-    mu = mu_ref[0][None, :]                      # (1, Md), µ=0 passed safe
-    inv_mu = 1.0 / mu
+    inv_mu = 1.0 / mu_ref[0][None, :]            # (1, Md), µ=0 passed safe
 
-    # vectorized precompute: per-step attenuation into scratch
-    tau = pack_ref[:, :, PK_TAU]                 # (bt, L)
-    dt = tau[:, 1:] - tau[:, :-1]
-    att_ref[:, 0, :] = jnp.zeros((bt, md), dtype)
-    att_ref[:, 1:, :] = jnp.exp(dt[:, :, None] * inv_mu[:, None, :])
-    out_ref[:, 0, :] = jnp.zeros((bt, md), dtype)
+    # att slot t = e^{Δτ_t/µ}; slot 0 = identity (a=1, and hdt[0]=0 → b=0).
+    # Δτ_t = 2·(Δτ/2 pack lane) — avoids lane-axis concats, which Mosaic
+    # cannot lower.
+    dt0 = 2.0 * pack_ref[:, :, PK_HDT_DN]        # (bt, L)
+    att_ref[:, :, :] = jnp.exp(dt0[:, :, None] * inv_mu[:, None, :])
 
-    n_chunks = (L - 1) // UNROLL
-
-    def chunk(ci, s):
-        base = 1 + ci * UNROLL
+    def chunk(ci, carry):
+        s, j_prev = carry
+        base = pl.multiple_of(ci * UNROLL, UNROLL)
         a_blk = att_ref[:, pl.ds(base, UNROLL), :]
-        j_blk = jn_ref[:, pl.ds(base - 1, UNROLL + 1), :]
-        w_blk = pack_ref[:, pl.ds(base, UNROLL), PK_HDT]     # (bt, U)
+        j_blk = jn_ref[:, pl.ds(base, UNROLL), :]
+        w_blk = pack_ref[:, pl.ds(base, UNROLL), PK_HDT_DN]  # (bt, U)
         rows = []
         for u in range(UNROLL):
             w = w_blk[:, u][:, None]
             a = a_blk[:, u, :]
-            s = a * s + w * (j_blk[:, u, :] * a + j_blk[:, u + 1, :])
+            j_t = j_blk[:, u, :]
+            s = a * s + w * (j_prev * a + j_t)
+            j_prev = j_t
             rows.append(-s * inv_mu[0][None, :])
         out_ref[:, pl.ds(base, UNROLL), :] = jnp.stack(rows, axis=1)
-        return s
+        return s, j_prev
 
-    s = jax.lax.fori_loop(0, n_chunks, chunk, jnp.zeros((bt, md), dtype))
-
-    if (L - 1) % UNROLL:
-        def tail(t, s):
-            w = _pk(pack_ref, t, PK_HDT)
-            a = _row(att_ref, t)
-            s = a * s + w * (_row(jn_ref, t - 1) * a + _row(jn_ref, t))
-            _set_row(out_ref, t, -s * inv_mu[0][None, :])
-            return s
-
-        jax.lax.fori_loop(1 + n_chunks * UNROLL, L, tail, s)
+    jax.lax.fori_loop(0, L // UNROLL, chunk,
+                      (jnp.zeros((bt, md), dtype), jnp.zeros((bt, md), dtype)))
 
 
-def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 32,
+def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 16,
                       interpret: bool = False):
     """jn_down: (B, L, Md); pack: (B, L, 8); mu_down_safe: (Md,), µ=0→-1."""
     b, L, md = jn_down.shape
+    assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(
@@ -163,54 +143,40 @@ def _up_kernel(pack_ref, cpar_ref, mu_ref, jn_ref, bc_ref, out_ref,
     inv_mu = 1.0 / mu_safe
     lane0 = (jax.lax.broadcasted_iota(jnp.int32, (bt, m), 1) == 0)
 
-    # vectorized precompute: a_t = e^{-Δτ_{t+1}/µ} stored at slot t
-    tau = pack_ref[:, :, PK_TAU]
-    dt = tau[:, 1:] - tau[:, :-1]                # slot t: τ_{t+1}-τ_t
-    att_ref[:, :L - 1, :] = jnp.exp(-dt[:, :, None] * inv_mu[:, None, :])
-    att_ref[:, L - 1, :] = jnp.zeros((bt, m), dtype)
+    # att slot t = e^{-Δτ_{t+1}/µ} for t<L-1; slot L-1 = 1 (identity step;
+    # pack DROP[L-1] = 1 so its local quadrature is zero).  Δτ from the
+    # packed Δτ/2 lane — no lane-axis concats.
+    dtp = 2.0 * pack_ref[:, :, PK_HDT_UP]
+    att_ref[:, :, :] = jnp.exp(-dtp[:, :, None] * inv_mu[:, None, :])
 
     i_surf = jnp.where(lane0, jn_ref[:, L - 1, :], bc_ref[:, :])
-    scratch_ref[:, L - 1, :] = i_surf
-
-    n_chunks = (L - 1) // UNROLL
 
     def chunk(ci, carry):
-        hi = L - 1 - ci * UNROLL                  # rows [hi-U, hi)
-        base = hi - UNROLL
+        s, j_next = carry
+        base = pl.multiple_of((L // UNROLL - 1 - ci) * UNROLL, UNROLL)
         a_blk = att_ref[:, pl.ds(base, UNROLL), :]
-        j_blk = jn_ref[:, pl.ds(base, UNROLL + 1), :]
-        w_blk = pack_ref[:, pl.ds(base + 1, UNROLL), PK_HDT]  # Δτ/2 at t+1
-        drop_blk = pack_ref[:, pl.ds(base, UNROLL), PK_DROP]
+        j_blk = jn_ref[:, pl.ds(base, UNROLL), :]
+        w_blk = pack_ref[:, pl.ds(base, UNROLL), PK_HDT_UP]
+        d_blk = pack_ref[:, pl.ds(base, UNROLL), PK_DROP]
         rows = []
         for u in range(UNROLL - 1, -1, -1):
             a = a_blk[:, u, :]
             w = w_blk[:, u][:, None]
-            drop = drop_blk[:, u][:, None]
-            c = w * inv_mu * (j_blk[:, u, :] + j_blk[:, u + 1, :] * a)
+            drop = d_blk[:, u][:, None]
+            j_t = j_blk[:, u, :]
+            c = w * inv_mu * (j_t + j_next * a)
             c = jnp.where(drop > 0.5, 0.0, c)
-            carry = a * carry + c
-            carry = jnp.where(lane0, j_blk[:, u, :], carry)
-            rows.append(carry)
-        out_blk = jnp.stack(rows[::-1], axis=1)
-        scratch_ref[:, pl.ds(base, UNROLL), :] = out_blk
-        return carry
+            s = a * s + c
+            s = jnp.where(lane0, j_t, s)
+            j_next = j_t
+            rows.append(s)
+        scratch_ref[:, pl.ds(base, UNROLL), :] = jnp.stack(rows[::-1], axis=1)
+        return s, j_next
 
-    carry = jax.lax.fori_loop(0, n_chunks, chunk, i_surf)
-
-    if (L - 1) % UNROLL:
-        def tail(k, carry):
-            t = L - 2 - n_chunks * UNROLL - k
-            a = _row(att_ref, t)
-            w = _pk(pack_ref, t + 1, PK_HDT)
-            drop = _pk(pack_ref, t, PK_DROP)
-            c = w * inv_mu * (_row(jn_ref, t) + _row(jn_ref, t + 1) * a)
-            c = jnp.where(drop > 0.5, 0.0, c)
-            carry = a * carry + c
-            carry = jnp.where(lane0, _row(jn_ref, t), carry)
-            _set_row(scratch_ref, t, carry)
-            return carry
-
-        jax.lax.fori_loop(0, (L - 1) % UNROLL, tail, carry)
+    # first processed row is t=L-1 with the identity step: a=1, drop=1,
+    # carry s = i_surf so scratch[L-1] = i_surf
+    jax.lax.fori_loop(0, L // UNROLL, chunk,
+                      (i_surf, jnp.zeros((bt, m), dtype)))
 
     # vectorized join-row extraction + smoothing deltas
     scratch = scratch_ref[:, :, :]                           # (bt, L, m)
@@ -219,21 +185,20 @@ def _up_kernel(pack_ref, cpar_ref, mu_ref, jn_ref, bc_ref, out_ref,
     tau_r1 = cpar_ref[:, 0:1]
     tau_r2 = cpar_ref[:, 1:2]
     d1 = _smooth_rows(row1, mu_row, m) - row1
+    # r2 = idx_up ≤ idx_down = r1-1, so the d1 chain always reaches row r2
     att_12 = jnp.exp(-jnp.maximum(tau_r1 - tau_r2, 0.0) * inv_mu)
     row2c = row2 + d1 * att_12
     d2 = _smooth_rows(row2c, mu_row, m) - row2c
 
-    # final pass: chaining + smoothing, chunked over layers to bound the
-    # VMEM held by temporaries (the all-layers version overflows VMEM)
-    CH = 8
-    mu_rows = jnp.broadcast_to(mu_row, (bt * CH, m))
+    # final pass: chaining + smoothing, in 8-row chunks (bounds VMEM temps)
+    mu_rows = jnp.broadcast_to(mu_row, (bt * UNROLL, m))
 
     def fchunk(ci, _):
-        base = ci * CH
-        blk = scratch_ref[:, pl.ds(base, CH), :]             # (bt, CH, m)
-        tau_blk = pack_ref[:, pl.ds(base, CH), PK_TAU]       # (bt, CH)
-        ch1 = pack_ref[:, pl.ds(base, CH), PK_CH1]
-        ch2 = pack_ref[:, pl.ds(base, CH), PK_CH2]
+        base = pl.multiple_of(ci * UNROLL, UNROLL)
+        blk = scratch_ref[:, pl.ds(base, UNROLL), :]
+        tau_blk = pack_ref[:, pl.ds(base, UNROLL), PK_TAU]
+        ch1 = pack_ref[:, pl.ds(base, UNROLL), PK_CH1]
+        ch2 = pack_ref[:, pl.ds(base, UNROLL), PK_CH2]
         att1 = jnp.exp(-jnp.maximum(tau_r1[:, :, None] - tau_blk[:, :, None],
                                     0.0) * inv_mu[:, None, :])
         att2 = jnp.exp(-jnp.maximum(tau_r2[:, :, None] - tau_blk[:, :, None],
@@ -242,35 +207,22 @@ def _up_kernel(pack_ref, cpar_ref, mu_ref, jn_ref, bc_ref, out_ref,
                 + ch2[:, :, None] * d2[:, None, :] * att2)
         corr = jnp.where(lane0[:, None, :], 0.0, corr)
         field = blk + corr
-        sm = _smooth_rows(field.reshape(bt * CH, m), mu_rows, m)
-        out_ref[:, pl.ds(base, CH), :] = sm.reshape(bt, CH, m)
+        sm = _smooth_rows(field.reshape(bt * UNROLL, m), mu_rows, m)
+        out_ref[:, pl.ds(base, UNROLL), :] = sm.reshape(bt, UNROLL, m)
         return 0
 
-    jax.lax.fori_loop(0, L // CH, fchunk, 0)
-
-    if L % CH:
-        def frow(t, _):
-            tau_t = _pk(pack_ref, t, PK_TAU)
-            att1 = jnp.exp(-jnp.maximum(tau_r1 - tau_t, 0.0) * inv_mu)
-            att2 = jnp.exp(-jnp.maximum(tau_r2 - tau_t, 0.0) * inv_mu)
-            base = _row(scratch_ref, t)
-            row = (base + _pk(pack_ref, t, PK_CH1) * d1 * att1
-                   + _pk(pack_ref, t, PK_CH2) * d2 * att2)
-            row = jnp.where(lane0, base, row)
-            _set_row(out_ref, t, _smooth_rows(row, mu_row, m))
-            return 0
-
-        jax.lax.fori_loop((L // CH) * CH, L, frow, 0)
+    jax.lax.fori_loop(0, L // UNROLL, fchunk, 0)
 
 
 def up_sweep_smooth_pallas(jn_up, pack, cparams, mu_up_row, bc,
-                           block_b: int = 32, interpret: bool = False):
+                           block_b: int = 16, interpret: bool = False):
     """jn_up: (B, L, M) columns M..2M-1 (lane 0 = µ=0⁺ column).
 
     pack: (B, L, 8) per-layer scalars; cparams: (B, 8) per-column
     scalars [τ_r1, τ_r2, ...]; bc: (B, M) with lane 0 unused.
     """
     b, L, m = jn_up.shape
+    assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(
@@ -300,21 +252,25 @@ def build_pack(tau, idx_up, idx_down, dtype):
     """(B, L, 8) per-layer pack + (B, 8) per-column scalars.
 
     Loop-invariant; build once per solve (see module docstring for lanes).
+    DROP is forced to 1 at t = L-1 (the up kernel's identity step — the
+    reverse recurrence has no interval above the surface row).
     """
     B, L = tau.shape
     t = jnp.arange(L)[None, :]
     iu = idx_up[:, None]
     idn = idx_down[:, None]
-    drop = ((t == idn) | (t == iu - 1)).astype(dtype)
+    drop = ((t == idn) | (t == iu - 1) | (t == L - 1)).astype(dtype)
     ch1 = (t <= idn).astype(dtype)
     ch2 = (t < iu).astype(dtype)
     r1 = (t == idn + 1).astype(dtype)
     r2 = (t == iu).astype(dtype)
-    hdt = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype), 0.5 * (tau[:, 1:] - tau[:, :-1])], axis=1)
-    zeros = jnp.zeros_like(tau)
+    dt = tau[:, 1:] - tau[:, :-1]
+    hdt_dn = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), 0.5 * dt], axis=1).astype(dtype)
+    hdt_up = jnp.concatenate(
+        [0.5 * dt, jnp.zeros((B, 1), dtype)], axis=1).astype(dtype)
     pack = jnp.stack([tau.astype(dtype), drop, ch1, ch2, r1, r2,
-                      hdt.astype(dtype), zeros], axis=-1)
+                      hdt_dn, hdt_up], axis=-1)
     tau_r1 = jnp.sum(r1 * tau, axis=1)
     tau_r2 = jnp.sum(r2 * tau, axis=1)
     cparams = jnp.stack([tau_r1, tau_r2] + [jnp.zeros((B,), dtype)] * 6,
