@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from sos_rt_tpu.models import _native
+
 
 def _nstop(x: float) -> int:
     """Wiscombe series-truncation criterion."""
@@ -39,6 +41,8 @@ def mie_ab(m: complex, x: float):
         raise ValueError("size parameter x must be > 0")
     m = complex(m)
     nmax = _nstop(x)
+    if _native.get_lib() is not None:
+        return _native.native_ab(m, x, nmax)
     mx = m * x
     nmx = max(nmax, int(abs(mx))) + 16
 
@@ -69,6 +73,8 @@ def mie_ab(m: complex, x: float):
 def efficiencies_single(m: complex, x: float):
     """(Qext, Qsca, Qback, g) for one sphere."""
     a, b = mie_ab(m, x)
+    if _native.get_lib() is not None:
+        return _native.native_efficiencies(a, b, x)
     n = np.arange(1, len(a) + 1, dtype=np.float64)
     qext = (2.0 / x**2) * np.sum((2 * n + 1) * (a.real + b.real))
     qsca = (2.0 / x**2) * np.sum((2 * n + 1) * (np.abs(a) ** 2 + np.abs(b) ** 2))
@@ -96,6 +102,8 @@ def s1_s2(m: complex, x: float, mu):
     """Scattering amplitudes S1(µ), S2(µ), un-normalized (BH convention)."""
     mu = np.atleast_1d(np.asarray(mu, dtype=np.float64))
     a, b = mie_ab(m, x)
+    if _native.get_lib() is not None:
+        return _native.native_s1s2(a, b, mu)
     nmax = len(a)
     s1 = np.zeros(mu.shape, dtype=np.complex128)
     s2 = np.zeros(mu.shape, dtype=np.complex128)

@@ -53,3 +53,25 @@ def test_asymmetry_bounds():
     for x in (0.5, 2.0, 10.0):
         _, _, _, g = miecore.efficiencies_single(1.44 + 0j, x)
         assert -1.0 < g < 1.0
+
+
+def test_native_matches_numpy(monkeypatch):
+    """The C++ core (csrc/miecore.cpp) must agree with the NumPy twin."""
+    from sos_rt_tpu.models import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("native mie core unavailable (no toolchain)")
+    m, x = 1.7 + 0.03j, 7.3
+    mu = np.linspace(-1, 1, 101)
+    s1n, s2n = miecore.s1_s2(m, x, mu)
+    qn = miecore.efficiencies_single(m, x)
+    monkeypatch.setenv("SOS_RT_NO_NATIVE", "1")
+    monkeypatch.setattr(_native, "_TRIED", False)
+    monkeypatch.setattr(_native, "_LIB", None)
+    s1p, s2p = miecore.s1_s2(m, x, mu)
+    qp = miecore.efficiencies_single(m, x)
+    monkeypatch.setattr(_native, "_TRIED", False)
+    monkeypatch.setattr(_native, "_LIB", None)
+    np.testing.assert_allclose(s1n, s1p, rtol=1e-12)
+    np.testing.assert_allclose(s2n, s2p, rtol=1e-12)
+    np.testing.assert_allclose(qn, qp, rtol=1e-12)
