@@ -96,8 +96,9 @@ def native_ab(m: complex, x: float, nmax: int):
 
 def native_s1s2(a: np.ndarray, b: np.ndarray, mu: np.ndarray):
     lib = get_lib()
-    n_mu = len(mu)
-    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    shape = np.shape(mu)
+    mu = np.ascontiguousarray(np.ravel(mu), dtype=np.float64)
+    n_mu = mu.size
     a_re = np.ascontiguousarray(a.real)
     a_im = np.ascontiguousarray(a.imag)
     b_re = np.ascontiguousarray(b.real)
@@ -109,7 +110,7 @@ def native_s1s2(a: np.ndarray, b: np.ndarray, mu: np.ndarray):
     lib.mie_s1s2(_ptr(a_re), _ptr(a_im), _ptr(b_re), _ptr(b_im), len(a),
                  _ptr(mu), n_mu, _ptr(s1_re), _ptr(s1_im), _ptr(s2_re),
                  _ptr(s2_im))
-    return s1_re + 1j * s1_im, s2_re + 1j * s2_im
+    return (s1_re + 1j * s1_im).reshape(shape), (s2_re + 1j * s2_im).reshape(shape)
 
 
 def native_efficiencies(a: np.ndarray, b: np.ndarray, x: float):
