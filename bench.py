@@ -43,7 +43,7 @@ def make_batch(batch: int) -> Scene:
     )
 
 
-def bench_sweep(batch=16384, reps=4, buckets=8, engine="fused"):
+def bench_sweep(batch=16384, reps=4, buckets=1, engine="mega", block_b=64):
     from sos_rt_tpu.parallel import solve_batch
 
     grid = GridSpec(nb_angles=64, nb_layers=128)
@@ -56,17 +56,21 @@ def bench_sweep(batch=16384, reps=4, buckets=8, engine="fused"):
     def run(i):
         sc = dataclasses.replace(scenes, grd_alb=scenes.grd_alb + i * 1e-7)
         sol = solve_batch(sc, tables, grid, opts, buckets=buckets,
-                          engine=engine)
-        # force full completion through the async dispatch queue
+                          engine=engine, block_b=block_b)
+        # force full completion through the async dispatch queue; drop the
+        # (B, L, 2M) fields before returning — at B=16k a held Solution is
+        # ~2 GB of HBM and two live ones exhaust a v5e chip
         chk = float(jnp.sum(sol.i_total[:, 0, :]))
-        return sol, chk
+        stats = (int(jnp.max(sol.n_orders)),
+                 float(jnp.mean(sol.n_orders.astype(jnp.float32))),
+                 int(jnp.sum(sol.converged)))
+        return stats, chk
 
     t0 = time.perf_counter()
-    sol, _ = run(0)
+    (o_max, o_mean, n_conv), _ = run(0)
     log(f"sweep compile+first run: {time.perf_counter()-t0:.1f}s; "
-        f"orders max={int(jnp.max(sol.n_orders))} "
-        f"mean={float(jnp.mean(sol.n_orders)):.1f} "
-        f"converged={int(jnp.sum(sol.converged))}/{batch}")
+        f"orders max={o_max} mean={o_mean:.1f} "
+        f"converged={n_conv}/{batch}")
     times = []
     for i in range(1, reps + 1):
         t0 = time.perf_counter()

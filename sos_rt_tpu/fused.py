@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.config import (GridSpec, MATMUL_PRECISION, Scene,
+                               SolverOptions)
 from sos_rt_tpu.grids import tau_profile
 from sos_rt_tpu.ops.first_order import first_order
 from sos_rt_tpu.ops.pallas_sweeps import (
@@ -39,6 +40,120 @@ from sos_rt_tpu.ops.sweeps import (
     select_band_choice,
 )
 from sos_rt_tpu.solver import PhaseTables, Solution
+
+
+def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
+                     opts: SolverOptions, cols_per_block: int = 64,
+                     interpret: bool | None = None):
+    """Whole-solve Pallas path: the entire order loop runs on-chip.
+
+    One kernel invocation per batch; each block of ``cols_per_block``
+    columns converges independently (see ops/megakernel.py).  Falls back
+    to :func:`solve_batch_fused` when the grid needs the small-µ machinery
+    (``mega_supported`` false).
+    """
+    from sos_rt_tpu.ops import megakernel as mk
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    if not mk.mega_supported(grid, stencils):
+        return solve_batch_fused(scenes, tables, grid, opts)
+    dtype = jnp.dtype(opts.dtype)
+    L, M = grid.nb_layers, grid.nb_angles
+    m2 = 2 * M
+    mu = jnp.asarray(grid.mu(), dtype)
+    w_mu_np = np.asarray(grid.trapz_weights(), np.float64)
+    w_mu = jnp.asarray(w_mu_np, dtype)
+    B = jnp.shape(jnp.asarray(scenes.mu0))[0]
+    C = min(cols_per_block, B)
+    pad = (-B) % C
+    if pad:
+        scenes = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]), scenes)
+    Bp = B + pad
+
+    tau, idx_up, idx_down = jax.vmap(
+        lambda ta, tr, z0, zu, zd: tau_profile(ta, tr, z0, zu, zd, L)
+    )(jnp.asarray(scenes.tau_star_atm, dtype),
+      jnp.asarray(scenes.tau_star_aer, dtype),
+      jnp.asarray(scenes.z0, dtype), jnp.asarray(scenes.z_up, dtype),
+      jnp.asarray(scenes.z_down, dtype))
+    tau = tau.astype(dtype)
+    dtau_aer = scenes.tau_star_aer / (idx_down + 1 - idx_up)
+    dtau_atm = scenes.tau_star_atm / L
+    w_atm = (dtau_atm / (dtau_atm + dtau_aer)).astype(dtype)
+    w_aer = (dtau_aer / (dtau_atm + dtau_aer)).astype(dtype)
+
+    p0_batched = jnp.ndim(tables.p0_atm) == 2
+    p0a_ax = 0 if p0_batched else None
+    i1t = jax.vmap(
+        lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr, p0a, p0r: first_order(
+            opts.surface, tv, mu, M, mu0, ra, aa, ar, p0a,
+            tables.p_atm, p0r, tables.p_aer, iu, idn, wa, wr, w_mu),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, p0a_ax, p0a_ax),
+        out_axes=1,
+    )(tau, jnp.asarray(scenes.mu0, dtype), jnp.asarray(scenes.grd_alb, dtype),
+      jnp.asarray(scenes.alb_atm, dtype), jnp.asarray(scenes.alb_aer, dtype),
+      idx_up, idx_down, w_atm, w_aer, tables.p0_atm, tables.p0_aer)
+    # i1t: (L, B, 2M)
+
+    # ---- pack (L, B, PK_W) ----
+    t_idx = jnp.arange(L)[:, None]
+    iu = idx_up[None, :]
+    idn = idx_down[None, :]
+    tau_t = tau.T                                           # (L, B)
+    drop = ((t_idx == idn) | (t_idx == iu - 1)
+            | (t_idx == L - 1)).astype(dtype)
+    ch1 = (t_idx <= idn).astype(dtype)
+    ch2 = (t_idx < iu).astype(dtype)
+    r1 = (t_idx == idn + 1).astype(dtype)
+    r2 = (t_idx == iu).astype(dtype)
+    dt = tau_t[1:] - tau_t[:-1]
+    zrow = jnp.zeros((1, Bp), dtype)
+    hdt_dn = jnp.concatenate([zrow, 0.5 * dt], axis=0)
+    hdt_up = jnp.concatenate([0.5 * dt, zrow], axis=0)
+    in_layer = ((t_idx >= iu) & (t_idx <= idn))
+    alb_atm = jnp.asarray(scenes.alb_atm, dtype)[None, :]
+    alb_aer = jnp.asarray(scenes.alb_aer, dtype)[None, :]
+    coef_atm = jnp.where(in_layer, w_atm[None, :] * alb_atm / 4.0,
+                         alb_atm / 4.0)
+    coef_aer = jnp.where(in_layer, w_aer[None, :] * alb_aer / 4.0, 0.0)
+    choice_a = band_choice(jnp.take_along_axis(
+        tau, (idx_up - 1)[:, None], axis=1)[:, 0]).astype(dtype)
+    choice_bc = band_choice(jnp.take_along_axis(
+        tau, idx_down[:, None], axis=1)[:, 0]).astype(dtype)
+    ones_l = jnp.ones((L, 1), dtype)
+    pack = jnp.stack([
+        tau_t, drop, ch1, ch2, r1, r2, hdt_dn, hdt_up, coef_atm, coef_aer,
+        ones_l * choice_a[None, :], ones_l * choice_bc[None, :],
+        jnp.zeros_like(tau_t), jnp.zeros_like(tau_t),
+        jnp.zeros_like(tau_t), jnp.zeros_like(tau_t)], axis=-1)
+
+    tau_r1 = jnp.sum(r1.T * tau, axis=1)
+    tau_r2 = jnp.sum(r2.T * tau, axis=1)
+    grd = jnp.asarray(scenes.grd_alb, dtype)
+    cpar = jnp.stack([tau_r1, tau_r2, grd] +
+                     [jnp.zeros((Bp,), dtype)] * (mk.CP_W - 3), axis=-1)
+
+    a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
+    a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
+    wall, valid, place, bcmat, rowc = mk.build_static_operators(
+        grid, stencils, opts.surface, w_mu_np, dtype)
+
+    itot_t, stats = mk.mega_call(
+        pack, cpar, rowc, a_atm, a_aer, bcmat, wall, place, valid, i1t,
+        nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
+        cols_per_block=C, interpret=interpret)
+
+    i_total = jnp.swapaxes(itot_t, 0, 1)[:B]
+    i1 = jnp.swapaxes(i1t, 0, 1)[:B]
+    n_orders = stats[:B, mk.ST_N].astype(jnp.int32)
+    converged = stats[:B, mk.ST_CONV] > 0.5
+    return Solution(i_total=i_total, i1=i1, n_orders=n_orders,
+                    converged=converged, tau=tau[:B],
+                    idx_up=idx_up[:B], idx_down=idx_down[:B])
 
 
 def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
@@ -150,8 +265,9 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                              interpret=interpret)
 
     def source_fn(dn, up):
-        jn_atm = dn @ a1_atm + up @ a2_atm
-        jn_aer = dn @ a1_aer + up @ a2_aer
+        dot = lambda x, y: jnp.dot(x, y, precision=MATMUL_PRECISION)
+        jn_atm = dot(dn, a1_atm) + dot(up, a2_atm)
+        jn_aer = dot(dn, a1_aer) + dot(up, a2_aer)
         jn_atm = (alb_atm / 4.0) * jn_atm
         jn_aer = (alb_aer / 4.0) * jn_aer
         return jnp.where(in_layer, wa3 * jn_atm + wr3 * jn_aer, jn_atm)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sos_rt_tpu.config import MU0_RESONANCE_TOL
+from sos_rt_tpu.config import MATMUL_PRECISION, MU0_RESONANCE_TOL
 
 
 def _clamp_exp(x):
@@ -120,7 +120,9 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
             ratio = mu_p[None, :] / (mu_p[None, :] - mu_m[:, None])   # (M-1, M)
             a_op = ratio * pmat * const * (wp * guard)[None, :]
             et, ck = e_p(lam_ref)
-            surf = et @ a_op.T - lam_att * (a_op @ ck)[None, :]
+            surf = (jnp.dot(et, a_op.T, precision=MATMUL_PRECISION)
+                    - lam_att * jnp.dot(a_op, ck,
+                                        precision=MATMUL_PRECISION)[None, :])
         return att, direct + surf
 
     att_a, vals_a = down_region("A")
@@ -149,7 +151,8 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
                 -(tau_star - tau) / mu0)
         else:
             et, _ = e_p(jnp.zeros((), dtype))
-            s0 = et @ (pmat0 * const * wp * guard)
+            s0 = jnp.dot(et, pmat0 * const * wp * guard,
+                         precision=MATMUL_PRECISION)
         return d0 + s0
 
     z_ab = down_zero("A")          # regions A and C share the pure-atm form
@@ -228,7 +231,9 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
             lim = ((1.0 / mu_u)[None, :]
                    * jnp.exp(-(tau_star - tau[:, None]) / mu_u[None, :])
                    * (lam_ref - tau[:, None]) * pk[None, :] * const * wk[None, :])
-            surf = et @ a_op.T - lam_att * (a_op @ ck)[None, :] + lim
+            surf = (jnp.dot(et, a_op.T, precision=MATMUL_PRECISION)
+                    - lam_att * jnp.dot(a_op, ck,
+                                        precision=MATMUL_PRECISION)[None, :]) + lim
         return att_b, direct + surf
 
     att_c_u, vals_c_u = up_region("C")
@@ -265,7 +270,8 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
                   * jnp.exp(-(tau_star - tau) / mu0))
         else:
             et, _ = e_p(jnp.zeros((), dtype))
-            s0 = et @ (pmat0 * const * wp * guard)
+            s0 = jnp.dot(et, pmat0 * const * wp * guard,
+                         precision=MATMUL_PRECISION)
         return d0 + s0
 
     uz_ab = up_zero("A")

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sos_rt_tpu.config import MATMUL_PRECISION
+
 
 def source_operator(p, w_mu):
     """A[k, m] = w_k · P[m, 2M-1-k]  so that  Jn = (ω/4)·(In_1 @ A)."""
@@ -26,8 +28,10 @@ def source_function(in_prev, a_atm, a_aer, alb_atm, alb_aer, w_atm, w_aer,
 
     in_prev: (L, 2M); a_*: (2M, 2M) operators from :func:`source_operator`.
     """
-    jn_atm = (alb_atm / 4.0) * (in_prev @ a_atm)
-    jn_aer = (alb_aer / 4.0) * (in_prev @ a_aer)
+    jn_atm = (alb_atm / 4.0) * jnp.dot(in_prev, a_atm,
+                                       precision=MATMUL_PRECISION)
+    jn_aer = (alb_aer / 4.0) * jnp.dot(in_prev, a_aer,
+                                       precision=MATMUL_PRECISION)
     t = jnp.arange(in_prev.shape[0])
     in_layer = ((t >= idx_up) & (t <= idx_down))[:, None]
     return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer, jn_atm)

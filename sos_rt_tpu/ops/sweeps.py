@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sos_rt_tpu.config import MU_THRESHOLD, MU_VERY_SMALL_THRESHOLD
+from sos_rt_tpu.config import (MATMUL_PRECISION, MU_THRESHOLD,
+                               MU_VERY_SMALL_THRESHOLD)
 
 SMOOTH_TOL = 1e-4   # second-difference walk threshold (main_lambertian.py:406)
 EXP_CLAMP = -80.0   # clamp for masked-out exponents
@@ -271,7 +272,8 @@ def polyfit_band_variants(i_down, stencils: SweepStencils):
     for c in range(4):
         src = jnp.asarray(stencils.poly_src[c])              # static cols
         w = jnp.asarray(stencils.poly_w[c], i_down.dtype)    # (band_max, 6)
-        polys.append(i_down[:, src] @ w.T)
+        polys.append(jnp.dot(i_down[:, src], w.T,
+                             precision=MATMUL_PRECISION))
         valids.append(jnp.asarray(stencils.poly_mask[c]))
     return jnp.stack(polys), jnp.stack(valids)
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sos_rt_tpu.config import MATMUL_PRECISION
+
 RHO_AIR = 1.225   # kg m^-3 (graphe.py:71)
 C_P = 1004.0      # J kg^-1 K^-1 (graphe.py:72)
 
@@ -39,8 +41,8 @@ def _beam_scale(beam, f0, mu0):
 
 def diffusivity(i_field, mu, w_mu):
     """Mean diffusivity µ̄(z) = −∫Iµdµ / ∫Idµ (graphe.py:6-29)."""
-    num = jnp.einsum("...m,m,m->...", i_field, mu, w_mu)
-    den = jnp.einsum("...m,m->...", i_field, w_mu)
+    num = jnp.einsum("...m,m,m->...", i_field, mu, w_mu, precision=MATMUL_PRECISION)
+    den = jnp.einsum("...m,m->...", i_field, w_mu, precision=MATMUL_PRECISION)
     return -num / den
 
 
@@ -55,8 +57,8 @@ def flux_up_down(i_field, mu, w_mu, tau, mu0, grd_alb, nb_angles,
     f0 = jnp.pi / mu0
     scale = _beam_scale(beam, f0, mu0)
     tau_star = tau[..., -1:]
-    down_diff = jnp.einsum("...tm,m,m->...t", i_field[..., :m], mu[:m], w_mu[:m])
-    up_diff = jnp.einsum("...tm,m,m->...t", i_field[..., m:], mu[m:], w_mu[m:])
+    down_diff = jnp.einsum("...tm,m,m->...t", i_field[..., :m], mu[:m], w_mu[:m], precision=MATMUL_PRECISION)
+    up_diff = jnp.einsum("...tm,m,m->...t", i_field[..., m:], mu[m:], w_mu[m:], precision=MATMUL_PRECISION)
     flux_down = down_diff - scale * jnp.exp(-tau / mu0)
     flux_up = up_diff + grd_alb * scale * jnp.exp(-(2 * tau_star - tau) / mu0)
     return flux_up, flux_down
@@ -67,7 +69,7 @@ def net_flux(i_field, mu, w_mu, tau, mu0, grd_alb, beam: str = "graphe"):
     f0 = jnp.pi / mu0
     scale = _beam_scale(beam, f0, mu0)
     tau_star = tau[..., -1:]
-    diff = jnp.einsum("...tm,m,m->...t", i_field, mu, w_mu)
+    diff = jnp.einsum("...tm,m,m->...t", i_field, mu, w_mu, precision=MATMUL_PRECISION)
     return (diff - scale * jnp.exp(-tau / mu0)
             + grd_alb * scale * jnp.exp(-(2 * tau_star - tau) / mu0))
 

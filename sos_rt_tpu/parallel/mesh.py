@@ -97,6 +97,15 @@ def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
                                                   block_b=block_b))
 
 
+@functools.lru_cache(maxsize=32)
+def _mega_solver(grid: GridSpec, opts: SolverOptions, cols_per_block: int):
+    """Cached jitted whole-solve mega-kernel solver (ops/megakernel.py)."""
+    from sos_rt_tpu.fused import solve_batch_mega
+
+    return jax.jit(lambda s, t: solve_batch_mega(
+        s, t, grid, opts, cols_per_block=cols_per_block))
+
+
 def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 opts: SolverOptions, mesh: Optional[Mesh] = None,
                 shard_tables: bool = False, buckets: int = 1,
@@ -112,6 +121,9 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     Per-column results are unchanged (solver lanes mask their own
     convergence); only wall-clock improves.
     """
+    if engine not in ("reference", "fused", "mega"):
+        raise ValueError(f"unknown engine {engine!r}; "
+                         "expected 'reference', 'fused' or 'mega'")
     if buckets > 1:
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         if b % buckets:
@@ -126,6 +138,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         chunk = b // buckets
         if mesh is not None:
             fn = None
+        elif engine == "mega":
+            fn = _mega_solver(grid, opts, block_b)
         elif engine == "fused":
             fn = _fused_solver(grid, opts, block_b)
         else:
@@ -151,6 +165,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return jax.tree_util.tree_map(lambda x: x[inv], stacked)
 
     if mesh is None:
+        if engine == "mega":
+            return _mega_solver(grid, opts, block_b)(scenes, tables)
         if engine == "fused":
             return _fused_solver(grid, opts, block_b)(scenes, tables)
         return _batched_solver(grid, opts,

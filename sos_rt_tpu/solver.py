@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.config import (GridSpec, MATMUL_PRECISION, Scene,
+                               SolverOptions)
 from sos_rt_tpu.grids import tau_profile
 from sos_rt_tpu.ops.first_order import first_order
 from sos_rt_tpu.ops.source import source_operator
@@ -207,8 +208,10 @@ def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     mask_join2 = (t_idx < idx_up)[:, None]
 
     def source_fn(in_prev):
-        jn_atm = (scene.alb_atm / 4.0) * (in_prev @ a_atm)
-        jn_aer = (scene.alb_aer / 4.0) * (in_prev @ a_aer)
+        jn_atm = (scene.alb_atm / 4.0) * jnp.dot(
+            in_prev, a_atm, precision=MATMUL_PRECISION)
+        jn_aer = (scene.alb_aer / 4.0) * jnp.dot(
+            in_prev, a_aer, precision=MATMUL_PRECISION)
         return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer, jn_atm)
 
     def compute_down(jn):

@@ -1,0 +1,81 @@
+"""Whole-solve mega-kernel vs the reference jnp solver.
+
+The mega path runs the entire order loop inside one Pallas kernel
+(ops/megakernel.py); in interpreter mode on CPU it must match
+``solve_batch`` (and therefore the NumPy oracle) on eligible grids.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.fused import solve_batch_mega
+from sos_rt_tpu.models import build_phase_tables
+from sos_rt_tpu.parallel import broadcast_scene, solve_batch
+from sos_rt_tpu.solver import PhaseTables
+
+
+def _tables(grid, mu0=0.5):
+    mu = grid.mu()
+    p0a, pa = build_phase_tables("rayleigh", mu, mu0)
+    p0r, pr = build_phase_tables("hg", mu, mu0, g=0.7)
+    return PhaseTables(*[jnp.asarray(x) for x in (p0a, pa, p0r, pr)])
+
+
+def _scenes(batch):
+    base = broadcast_scene(Scene(), batch)
+    return dataclasses.replace(
+        base,
+        grd_alb=jnp.linspace(0.0, 0.8, batch),
+        tau_star_aer=jnp.linspace(0.02, 0.35, batch),
+        alb_aer=jnp.linspace(0.7, 1.0, batch),
+    )
+
+
+@pytest.mark.parametrize("surface", ["lambertian", "specular"])
+def test_mega_matches_reference(surface):
+    grid = GridSpec(nb_angles=51, nb_layers=64)
+    tables = _tables(grid)
+    opts = SolverOptions(surface=surface, dtype="float64")
+    scenes = _scenes(4)
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(mega.n_orders),
+                                  np.asarray(ref.n_orders))
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
+    assert bool(jnp.all(mega.converged))
+
+
+def test_mega_pads_ragged_batch():
+    """B not divisible by cols_per_block exercises the pad/trim path."""
+    grid = GridSpec(nb_angles=51, nb_layers=64)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(3)
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True)
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
+def test_mega_falls_back_on_small_mu_grid():
+    """M=201 has |µ|<0.01 columns → mega must delegate to the fused path."""
+    grid = GridSpec(nb_angles=201, nb_layers=48)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(2)
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
