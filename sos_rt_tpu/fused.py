@@ -44,13 +44,19 @@ from sos_rt_tpu.solver import PhaseTables, Solution
 
 def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      opts: SolverOptions, cols_per_block: int = 64,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, sort: bool = True,
+                     ablate: str = ""):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
     columns converges independently (see ops/megakernel.py).  Falls back
     to :func:`solve_batch_fused` when the grid needs the small-µ machinery
     (``mega_supported`` false).
+
+    ``sort`` pre-sorts columns by an order-count proxy so each block is
+    convergence-homogeneous (blocks exit their while_loop together instead
+    of dragging fast columns to a slow straggler's trip count); results
+    are returned in the caller's order, per-column values unchanged.
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -59,6 +65,22 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     stencils = build_stencils(grid.mu(), grid.nb_angles)
     if not mk.mega_supported(grid, stencils):
         return solve_batch_fused(scenes, tables, grid, opts)
+
+    if sort:
+        from sos_rt_tpu.parallel.mesh import order_count_score
+
+        perm = jnp.argsort(order_count_score(scenes))
+        inv = jnp.argsort(perm)
+        scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
+        if jnp.ndim(tables.p0_atm) == 2:
+            tables = dataclasses.replace(
+                tables, p0_atm=tables.p0_atm[perm], p0_aer=tables.p0_aer[perm])
+        sol = solve_batch_mega(scenes, tables, grid, opts,
+                               cols_per_block=cols_per_block,
+                               interpret=interpret, sort=False,
+                               ablate=ablate)
+        return jax.tree_util.tree_map(lambda x: x[inv], sol)
+
     dtype = jnp.dtype(opts.dtype)
     L, M = grid.nb_layers, grid.nb_angles
     m2 = 2 * M
@@ -125,11 +147,21 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     choice_bc = band_choice(jnp.take_along_axis(
         tau, idx_down[:, None], axis=1)[:, 0]).astype(dtype)
     ones_l = jnp.ones((L, 1), dtype)
+    # localized affine-scan sources (see ops/megakernel.py sweep comments):
+    # down  c_t = (hdt_dn+hdt_up)_t · jₙ_t
+    # up    c_t = (d_t·hdt_up_t + gs_t)·ivup·jₙ_t,  gs_t = d_{t-1}·hdt_up_{t-1}
+    cdn = hdt_dn + hdt_up
+    dw = (1.0 - drop) * hdt_up
+    gs = jnp.concatenate([zrow, dw[:-1]], axis=0)
+    cup = dw + gs
+    # resolved polyfit-band choice per (layer, column): variant A above
+    # the aerosol layer, variant B/C below (ch2 = t < idx_up)
+    choice_res = jnp.where(ch2 > 0.5, ones_l * choice_a[None, :],
+                           ones_l * choice_bc[None, :])
     pack = jnp.stack([
         tau_t, drop, ch1, ch2, r1, r2, hdt_dn, hdt_up, coef_atm, coef_aer,
         ones_l * choice_a[None, :], ones_l * choice_bc[None, :],
-        jnp.zeros_like(tau_t), jnp.zeros_like(tau_t),
-        jnp.zeros_like(tau_t), jnp.zeros_like(tau_t)], axis=-1)
+        cdn, cup, gs, choice_res], axis=-1)
 
     tau_r1 = jnp.sum(r1.T * tau, axis=1)
     tau_r2 = jnp.sum(r2.T * tau, axis=1)
@@ -139,13 +171,14 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
+    a_cat = jnp.concatenate([a_atm, a_aer], axis=1)       # (2M, 4M)
     wall, valid, place, bcmat, rowc = mk.build_static_operators(
         grid, stencils, opts.surface, w_mu_np, dtype)
 
     itot_t, stats = mk.mega_call(
-        pack, cpar, rowc, a_atm, a_aer, bcmat, wall, place, valid, i1t,
+        pack, cpar, rowc, a_cat, bcmat, wall, place, valid, i1t,
         nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
-        cols_per_block=C, interpret=interpret)
+        cols_per_block=C, interpret=interpret, ablate=ablate)
 
     i_total = jnp.swapaxes(itot_t, 0, 1)[:B]
     i1 = jnp.swapaxes(i1t, 0, 1)[:B]

@@ -50,7 +50,8 @@ BIG = 1 << 30
 
 # pack lane indices (per layer × column scalars)
 PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP, \
-    PK_COEF_ATM, PK_COEF_AER, PK_CHOICE_A, PK_CHOICE_BC = range(12)
+    PK_COEF_ATM, PK_COEF_AER, PK_CHOICE_A, PK_CHOICE_BC, \
+    PK_CDN, PK_CUP, PK_GS, PK_CHOICE = range(16)
 PK_W = 16
 
 # cpar lane indices (per column scalars)
@@ -65,69 +66,143 @@ RC_H = 8
 ST_N, ST_CONV, ST_RATIO = range(3)
 ST_W = 128
 
+BIGF = 1e9
 
-def _smooth_tile(v, murow, m, m2, lanes):
-    """µ→0⁺ smoothing walk on a (C, 2M) plane, full-width.
+
+def _smooth_tile(v, m, m2, lanef):
+    """µ→0⁺ smoothing walk on (N, 2M) rows, full-width.
 
     Replicates ops/sweeps.py::smooth_up_rows (main_lambertian.py:405-411):
     walk lanes M+1..2M-3 for the first second-difference ≤ 1e-4, blend
-    lanes (M, idx) linearly in µ between v[M] and v[idx].  Down lanes
-    (< M) are untouched.
+    lanes (M, idx) linearly in µ between v[M] and v[idx].  Lanes < M are
+    untouched.
+
+    Two deviations from the obvious transcription, both measured on v5e:
+    - every lane-index comparison runs in FLOAT (``lanef`` is the lane
+      iota pre-cast to v.dtype) — an int32 lane-min reduction lowers
+      ~20x slower than the f32 one (34 µs vs ~2 µs per 4 MB pass);
+    - the blend weight µ_k/µ_idx is evaluated closed-form as
+      (k-M)/(idx-M), exact for the reference's uniform up-µ grid
+      (SOS_Aer_main_lambertian.py:59-61, enforced by ``mega_supported``),
+      removing two more cross-lane reductions.
     """
     v1 = pltpu.roll(v, m2 - 1, 1)    # v1[l] = v[l+1] (wrap is masked below)
     v2 = pltpu.roll(v, m2 - 2, 1)
     d = jnp.abs(v - 2.0 * v1 + v2)
-    ok = (d <= SMOOTH_TOL) & (lanes >= m + 1) & (lanes <= m2 - 3)
-    first = jnp.min(jnp.where(ok, lanes, BIG), axis=1, keepdims=True)
-    stop = jnp.minimum(first, m2 - 3)
-    idx = stop + 1
-    onehot = (lanes == idx).astype(v.dtype)
+    ok = (d <= SMOOTH_TOL) & (lanef >= m + 1) & (lanef <= m2 - 3)
+    first = jnp.min(jnp.where(ok, lanef, BIGF), axis=1, keepdims=True)
+    idxf = jnp.minimum(first, m2 - 3) + 1.0
+    onehot = (lanef == idxf).astype(v.dtype)
     i_val = jnp.sum(v * onehot, axis=1, keepdims=True)
-    mu_idx = jnp.sum(murow * onehot, axis=1, keepdims=True)
-    weight = murow / mu_idx
-    base = jnp.sum(v * (lanes == m).astype(v.dtype), axis=1, keepdims=True)
+    base = v[:, m:m + 1]
+    weight = (lanef - m) / (idxf - m)
     blended = (1.0 - weight) * base + weight * i_val
-    do = (lanes >= m + 1) & (lanes < idx)
+    do = (lanef >= m + 1) & (lanef < idxf)
     return jnp.where(do, blended, v)
 
 
-def _mega_kernel(pack_ref, cpar_ref, rowc_ref, aatm_ref, aaer_ref, bcmat_ref,
+def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
                  wall_ref, place_ref, valid_ref,
                  i1_ref, itot_ref, stats_ref,
-                 field_ref, jn_ref, att_ref, att1_ref, att2_ref,
-                 *, nb_angles: int, tol: float, max_orders: int):
+                 field_ref, jn_ref, att_ref, att1_ref, att2_ref, cv_ref,
+                 cab_ref, crb_ref, cdnb_ref, hupb_ref, cupb_ref, gsb_ref,
+                 r1b_ref, r2b_ref,
+                 *, nb_angles: int, tol: float, max_orders: int,
+                 ablate: str = ""):
+    """Whole-solve kernel body.
+
+    Performance structure (each rule measured on v5e, see
+    tools/micro_ops.py):
+
+    - every wide pass streams the (L, C, 2M) field in chunks of G layers
+      — a (G·C, 2M) tile is a few dozen vregs, so live values stay
+      register-resident instead of materializing 4 MB per pass;
+    - per-(layer,column) scalars are NEVER extracted + lane-broadcast
+      inside the order loop (that pattern costs ~3 µs/pass vs 0.4 µs for
+      a plain two-ref FMA): the `pre` stage broadcasts each coefficient
+      once into a dedicated (L, C, 2M) scratch (cab..r2b);
+    - the two Jₙ species matmuls run as ONE dot against the horizontally
+      stacked (2M, 4M) operator;
+    - the chain-correction masks (region indicators ch1/ch2, up-lane
+      mask) are folded into att1/att2 at `pre` time.
+
+    ``ablate``: comma-separated static flags that cut out kernel stages
+    for performance attribution (tools/ablate_kernel.py) — results are
+    WRONG with any flag set.  noconv: fixed order count; noloops: skip
+    the two sequential sweeps; nosrc: skip the Jₙ matmuls; nopoly: skip
+    the polyfit-band matmuls; nofin: skip chain-correction + smoothing.
+    """
+    ab = frozenset(ablate.split(",")) if ablate else frozenset()
     L, C, m2 = i1_ref.shape
     m = nb_angles
     dtype = i1_ref.dtype
+    G = next(d for d in (8, 4, 2, 1) if L % d == 0)
+    NG = L // G
+    GC = G * C
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (C, m2), 1)
+    lanes_c = jax.lax.broadcasted_iota(jnp.int32, (GC, m2), 1)
+    lanef = lanes.astype(dtype)
+    lanef_c = lanes_c.astype(dtype)
     is_dn = lanes < m
     is_up = lanes >= m
     lane_m = lanes == m
+    is_dn_c = lanes_c < m
+    lane_m_c = lanes_c == m
     e_mu = rowc_ref[RC_EMU, :][None, :]
     ivdn = rowc_ref[RC_IVDN, :][None, :]
     ivup = rowc_ref[RC_IVUP, :][None, :]
-    murow = rowc_ref[RC_MU, :][None, :]
     tau_r1 = cpar_ref[:, CP_TAU_R1][:, None]
     tau_r2 = cpar_ref[:, CP_TAU_R2][:, None]
     grd = cpar_ref[:, CP_GRD][:, None]
-    hdt_sign = jnp.where(is_dn, 1.0, -1.0).astype(dtype)
 
-    # ---- loop-invariant precompute: attenuations, chain attenuations ----
-    def pre(t, _):
-        pk = pack_ref[t]                                  # (C, PK_W)
-        hdt = jnp.where(is_dn, pk[:, PK_HDT_DN][:, None],
-                        pk[:, PK_HDT_UP][:, None])
-        # down lanes: e^{Δτ_t/µ}; up lanes: e^{-Δτ_{t+1}/µ}
-        att_ref[t] = jnp.exp(2.0 * hdt * e_mu)
-        tau_t = pk[:, PK_TAU][:, None]
-        att1_ref[t] = jnp.exp(-jnp.maximum(tau_r1 - tau_t, 0.0) * ivup)
-        att2_ref[t] = jnp.exp(-jnp.maximum(tau_r2 - tau_t, 0.0) * ivup)
-        itot_ref[t] = i1_ref[t]
-        field_ref[t] = i1_ref[t]
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=dtype,
+                       precision=MATMUL_PRECISION)
+
+    # loop-invariant smalls: placed polyfit validity rows (4, 2M) and the
+    # region-join chain attenuation (C, 2M)
+    pvt = dot(valid_ref[0:4, :], place_ref[:, :])
+    att_12 = jnp.exp(-jnp.maximum(tau_r1 - tau_r2, 0.0) * ivup)
+
+    # ---- `pre`: one chunked pass filling every loop-invariant scratch:
+    # per-step attenuations a_t (down lanes e^{Δτ_t/µ}, up lanes
+    # e^{-Δτ_{t+1}/µ}, 0 at the µ=0⁺ lane so the up recurrence pins
+    # I(µ=0)=Jₙ), masked chain attenuations, and the lane-broadcast
+    # per-(layer,column) coefficients ----
+    def pre(g, _):
+        sl = pl.ds(g * G, G)
+        pk3 = pack_ref[sl]                                # (G, C, PK_W)
+        pk = pk3.reshape(GC, PK_W)
+        hdt = jnp.where(is_dn_c, pk[:, PK_HDT_DN:PK_HDT_DN + 1],
+                        pk[:, PK_HDT_UP:PK_HDT_UP + 1])
+        a = jnp.exp(2.0 * hdt * e_mu)
+        att_ref[sl] = jnp.where(lane_m_c, 0.0, a).reshape(G, C, m2)
+        corr_mask3 = (is_up & ~lane_m)[None].astype(dtype)   # (1, C, 2M)
+        tau_t3 = pk3[:, :, PK_TAU:PK_TAU + 1]                # (G, C, 1)
+        a1 = jnp.exp(-jnp.maximum(tau_r1[None] - tau_t3, 0.0) * ivup[None])
+        a2 = jnp.exp(-jnp.maximum(tau_r2[None] - tau_t3, 0.0) * ivup[None])
+        att1_ref[sl] = (corr_mask3 * pk3[:, :, PK_CH1:PK_CH1 + 1] * a1)
+        att2_ref[sl] = (corr_mask3 * pk3[:, :, PK_CH2:PK_CH2 + 1] * a2)
+        ones = jnp.ones((GC, m2), dtype)
+        cab_ref[sl] = (pk[:, PK_COEF_ATM:PK_COEF_ATM + 1]
+                       * ones).reshape(G, C, m2)
+        crb_ref[sl] = (pk[:, PK_COEF_AER:PK_COEF_AER + 1]
+                       * ones).reshape(G, C, m2)
+        cdnb_ref[sl] = (pk[:, PK_CDN:PK_CDN + 1] * ones).reshape(G, C, m2)
+        hupb_ref[sl] = (pk[:, PK_HDT_UP:PK_HDT_UP + 1]
+                        * ones).reshape(G, C, m2)
+        cupb = pk[:, PK_CUP:PK_CUP + 1] * ivup
+        cupb_ref[sl] = jnp.where(lane_m_c, 1.0, cupb).reshape(G, C, m2)
+        gsb_ref[sl] = (pk[:, PK_GS:PK_GS + 1] * ivup).reshape(G, C, m2)
+        r1b_ref[sl] = (pk[:, PK_R1:PK_R1 + 1] * ones).reshape(G, C, m2)
+        r2b_ref[sl] = (pk[:, PK_R2:PK_R2 + 1] * ones).reshape(G, C, m2)
+        i1g = i1_ref[sl]
+        itot_ref[sl] = i1g
+        field_ref[sl] = i1g
         return 0
 
-    jax.lax.fori_loop(0, L, pre, 0)
+    jax.lax.fori_loop(0, NG, pre, 0)
 
     one = jnp.ones((C, m2), dtype)
     neg = jnp.full((C, 1), -jnp.inf, dtype)
@@ -144,112 +219,147 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, aatm_ref, aaer_ref, bcmat_ref,
 
     def cond(carry):
         ratio, n = carry
+        if "noconv" in ab:
+            return jnp.max(n) < max_orders
         return jnp.any(ratio >= tol) & (jnp.max(n) < max_orders)
 
     def body(carry):
         ratio, n = carry
         active = (ratio >= tol).astype(dtype)             # (C, 1)
 
-        # ---- source: Jₙ = coef·(Iₙ₋₁ @ A) per species, blended ----
-        fv = field_ref[:, :, :].reshape(L * C, m2)
-        pk_all = pack_ref[:, :, :].reshape(L * C, PK_W)
-        jn_flat = (pk_all[:, PK_COEF_ATM][:, None]
-                   * jnp.dot(fv, aatm_ref[:, :], preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION)
-                   + pk_all[:, PK_COEF_AER][:, None]
-                   * jnp.dot(fv, aaer_ref[:, :], preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION))
-        jn_ref[:, :, :] = jn_flat.reshape(L, C, m2)
-
-        # ---- downward sweep (computed full-width; up lanes garbage) ----
-        def down(t, carry):
-            s, j_prev = carry
-            j_t = jn_ref[t]
-            a = att_ref[t]
-            w = pack_ref[t][:, PK_HDT_DN][:, None]
-            s = a * s + w * (j_prev * a + j_t)
-            field_ref[t] = jnp.where(is_dn, -s * ivdn, 0.0)
-            return s, j_t
-
-        z = jnp.zeros((C, m2), dtype)
-        jax.lax.fori_loop(0, L, down, (z, z))
-
-        # ---- narrow fixes: µ=0⁻ zero + polyfit band (static stencils) ----
-        fv = field_ref[:, :, :].reshape(L * C, m2)
-        fv = jnp.where((lanes == m - 1)[:1].reshape(1, m2), 0.0, fv)
-        polys = jnp.dot(fv, wall_ref[:, :], preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION)
-        choice = jnp.where(pk_all[:, PK_CH2] > 0.5,
-                           pk_all[:, PK_CHOICE_A],
-                           pk_all[:, PK_CHOICE_BC])[:, None]
-        band = polys[:, 0:SLOT]
-        vrow = valid_ref[0, :][None, :]
-        for c in range(1, 4):
-            sel = choice == c
-            band = jnp.where(sel, polys[:, c * SLOT:(c + 1) * SLOT], band)
-            vrow = jnp.where(sel, valid_ref[c, :][None, :], vrow)
-        placed = jnp.dot(band, place_ref[:, :], preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION)
-        pvalid = jnp.dot(vrow * jnp.ones_like(band), place_ref[:, :],
-                         preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION)
-        fv = jnp.where(pvalid > 0.5, placed, fv)
-        field_ref[:, :, :] = fv.reshape(L, C, m2)
-
-        # ---- surface boundary condition ----
-        surf = field_ref[L - 1]
-        bc = grd * jnp.dot(jnp.where(is_dn, surf, 0.0), bcmat_ref[:, :],
-                           preferred_element_type=dtype,
-                   precision=MATMUL_PRECISION)
-        i_surf = jnp.where(lane_m, jn_ref[L - 1], bc)
-
-        # ---- upward sweep (reverse); accumulate the two join rows ----
-        def up(r, carry):
-            s, j_next, row1, row2 = carry
-            t = L - 1 - r
-            j_t = jn_ref[t]
-            a = att_ref[t]
-            pk = pack_ref[t]
-            w = pk[:, PK_HDT_UP][:, None]
-            drop = pk[:, PK_DROP][:, None]
-            c = w * ivup * (j_t + j_next * a)
-            c = jnp.where(drop > 0.5, 0.0, c)
-            s = a * s + c
-            s = jnp.where(lane_m, j_t, s)
-            field_ref[t] = jnp.where(is_up, s, field_ref[t])
-            row1 = row1 + pk[:, PK_R1][:, None] * s
-            row2 = row2 + pk[:, PK_R2][:, None] * s
-            return s, j_t, row1, row2
-
-        s0 = jnp.where(lane_m, jn_ref[L - 1], i_surf)
-        _, _, row1, row2 = jax.lax.fori_loop(
-            0, L, up, (s0, z, jnp.zeros((C, m2), dtype),
-                       jnp.zeros((C, m2), dtype)))
-
-        # ---- smoothed-boundary chaining deltas at the two region joins ----
-        d1 = _smooth_tile(row1, murow, m, m2, lanes) - row1
-        att_12 = jnp.exp(-jnp.maximum(tau_r1 - tau_r2, 0.0) * ivup)
-        row2c = row2 + d1 * att_12
-        d2 = _smooth_tile(row2c, murow, m, m2, lanes) - row2c
-
-        # ---- final pass: chain corrections + smoothing + accumulate ----
-        def fin(t, _):
-            pk = pack_ref[t]
-            ch1 = pk[:, PK_CH1][:, None]
-            ch2 = pk[:, PK_CH2][:, None]
-            corr = ch1 * d1 * att1_ref[t] + ch2 * d2 * att2_ref[t]
-            corr = jnp.where(is_up & ~lane_m, corr, 0.0)
-            f = _smooth_tile(field_ref[t] + corr, murow, m, m2, lanes)
-            field_ref[t] = f
-            itot_ref[t] = itot_ref[t] + active * f
+        # ---- pass 1: Jₙ = cab·(Iₙ₋₁ @ A_atm) + crb·(Iₙ₋₁ @ A_aer), one
+        # stacked dot; + the down-scan source.  The raw down recurrence
+        # s_t = a_t(s_{t-1} + w_t j_{t-1}) + w_t j_t (w_t = hdt_dn[t]) is
+        # substituted r_t = s_t + hdt_up[t]·j_t (hdt_up[t] = hdt_dn[t+1])
+        # giving r_t = a_t r_{t-1} + cdn_t·j_t with a layer-LOCAL source,
+        # so the sweep loop is one FMA ----
+        def p1(g, _):
+            sl = pl.ds(g * G, G)
+            fv = field_ref[sl].reshape(GC, m2)
+            if "nosrc" in ab:
+                jn = fv + 1.0
+            else:
+                out = dot(fv, acat_ref[:, :])             # (GC, 4M)
+                jn = (cab_ref[sl].reshape(GC, m2) * out[:, :m2]
+                      + crb_ref[sl].reshape(GC, m2) * out[:, m2:])
+            jn_ref[sl] = jn.reshape(G, C, m2)
+            cv_ref[sl] = (cdnb_ref[sl].reshape(GC, m2)
+                          * jn).reshape(G, C, m2)
             return 0
 
-        jax.lax.fori_loop(0, L, fin, 0)
+        if "nop1" not in ab:
+            jax.lax.fori_loop(0, NG, p1, 0)
 
-        rnew = ratio_rows(field_ref[0], itot_ref[0],
-                          field_ref[L - 1], itot_ref[L - 1])
+        # ---- downward sweep (r values overwrite cv in place) ----
+        def down(t, r):
+            r = att_ref[t] * r + cv_ref[t]
+            cv_ref[t] = r
+            return r
+
+        if "noloops" not in ab:
+            jax.lax.fori_loop(0, L, down, jnp.zeros((C, m2), dtype))
+
+        # ---- pass 2: extract I↓ + narrow fixes (µ=0⁻ zero, polyfit band
+        # via static-stencil matmuls) + the up-scan source.  The raw
+        # reverse recurrence s_t = a_t s_{t+1} + d_t w_t ivup (j_t +
+        # a_t j_{t+1}) (w_t = hdt_up[t], d_t = 1-drop_t) is substituted
+        # r_t = s_t + gs_t·ivup·j_t (gs_t = d_{t-1} w_{t-1}) giving
+        # r_t = a_t r_{t+1} + cup_t·ivup·j_t; the µ=0⁺ lane rides along
+        # with a=0, cupb=1, c=jₙ, which pins I(µ=0)=Jₙ exactly ----
+        def p2(g, _):
+            sl = pl.ds(g * G, G)
+            rv = cv_ref[sl].reshape(GC, m2)
+            jn = jn_ref[sl].reshape(GC, m2)
+            s_dn = rv - hupb_ref[sl].reshape(GC, m2) * jn
+            fv = jnp.where(is_dn_c, -s_dn * ivdn, 0.0)
+            fv = jnp.where(lanes_c == m - 1, 0.0, fv)
+            if "nopoly" not in ab:
+                pk = pack_ref[sl].reshape(GC, PK_W)
+                polys = dot(fv, wall_ref[:, :])
+                choice = pk[:, PK_CHOICE:PK_CHOICE + 1]
+                band = polys[:, 0:SLOT]
+                vsel = pvt[0][None, :]
+                for c in range(1, 4):
+                    sel = choice == c
+                    band = jnp.where(sel, polys[:, c * SLOT:(c + 1) * SLOT],
+                                     band)
+                    vsel = jnp.where(sel, pvt[c][None, :], vsel)
+                placed = dot(band, place_ref[:, :])
+                fv = jnp.where(vsel > 0.5, placed, fv)
+            field_ref[sl] = fv.reshape(G, C, m2)
+            cv_ref[sl] = (cupb_ref[sl].reshape(GC, m2) * jn).reshape(G, C, m2)
+            return 0
+
+        if "nop2" not in ab:
+            jax.lax.fori_loop(0, NG, p2, 0)
+
+        # ---- surface boundary condition ----
+        if "nobc" in ab:
+            i_surf = jn_ref[L - 1]
+        else:
+            surf = field_ref[L - 1]
+            bc = grd * dot(jnp.where(is_dn, surf, 0.0), bcmat_ref[:, :])
+            i_surf = jnp.where(lane_m, jn_ref[L - 1], bc)
+
+        # ---- upward sweep (reverse; r values overwrite cv in place) ----
+        def up(i, r):
+            t = L - 1 - i
+            r = att_ref[t] * r + cv_ref[t]
+            cv_ref[t] = r
+            return r
+
+        if "noloops" not in ab:
+            jax.lax.fori_loop(0, L, up, i_surf)
+
+        # ---- pass 3: extract I↑; region-join rows as one-hot sums ----
+        def p3(g, rows):
+            row1, row2 = rows
+            sl = pl.ds(g * G, G)
+            s_up3 = cv_ref[sl] - gsb_ref[sl] * jn_ref[sl]
+            field_ref[sl] = jnp.where(is_up[None], s_up3, field_ref[sl])
+            row1 = row1 + jnp.sum(r1b_ref[sl] * s_up3, axis=0)
+            row2 = row2 + jnp.sum(r2b_ref[sl] * s_up3, axis=0)
+            return row1, row2
+
+        z = jnp.zeros((C, m2), dtype)
+        if "nop3" in ab:
+            row1, row2 = z, z
+        else:
+            row1, row2 = jax.lax.fori_loop(0, NG, p3, (z, z))
+
+        if "nofin" in ab:
+            def p4(g, _):
+                sl = pl.ds(g * G, G)
+                itot_ref[sl] = itot_ref[sl] + active[None] * field_ref[sl]
+                return 0
+        else:
+            # ---- smoothed-boundary chain deltas at the region joins ----
+            d1 = _smooth_tile(row1, m, m2, lanef) - row1
+            row2c = row2 + d1 * att_12
+            d2 = _smooth_tile(row2c, m, m2, lanef) - row2c
+
+            # ---- pass 4: chain corrections (masks pre-folded into
+            # att1/att2) + smoothing + accumulate ----
+            def p4(g, _):
+                sl = pl.ds(g * G, G)
+                corr = d1[None] * att1_ref[sl] + d2[None] * att2_ref[sl]
+                f = _smooth_tile((field_ref[sl] + corr).reshape(GC, m2),
+                                 m, m2, lanef_c)
+                f3 = f.reshape(G, C, m2)
+                field_ref[sl] = f3
+                itot_ref[sl] = itot_ref[sl] + active[None] * f3
+                return 0
+
+        if "nop4" not in ab:
+            jax.lax.fori_loop(0, NG, p4, 0)
+
+        if "noratio" in ab:
+            rnew = ratio
+        else:
+            rnew = ratio_rows(field_ref[0], itot_ref[0],
+                              field_ref[L - 1], itot_ref[L - 1])
         ratio = jnp.where(active > 0.5, rnew, ratio)
-        n = n + active
+        n = n + (1.0 if "noconv" in ab else active)
         return ratio, n
 
     ratio, n = jax.lax.while_loop(cond, body, (ratio0, n0))
@@ -263,8 +373,14 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, aatm_ref, aaer_ref, bcmat_ref,
 
 
 def mega_supported(grid, stencils: SweepStencils) -> bool:
-    """Static eligibility: no small-µ columns and band fits the slots."""
-    return stencils.small_cols.size == 0 and stencils.band_max <= SLOT
+    """Static eligibility: no small-µ columns, band fits the slots, and
+    the up-µ grid is uniform (the in-kernel smoothing walk evaluates its
+    blend weight µ_k/µ_idx closed-form as (k-M)/(idx-M))."""
+    mu_up = np.asarray(grid.mu(), np.float64)[grid.nb_angles:]
+    d = np.diff(mu_up)
+    uniform = bool(np.allclose(d, d[0], rtol=1e-12, atol=1e-15))
+    return (stencils.small_cols.size == 0 and stencils.band_max <= SLOT
+            and uniform)
 
 
 def build_static_operators(grid, stencils: SweepStencils, surface: str,
@@ -307,6 +423,9 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     rowc[RC_EMU, m:] = -1.0 / mu_up_safe
     rowc[RC_IVDN, :m] = 1.0 / mu_dn_safe
     rowc[RC_IVUP, m:] = 1.0 / mu_up_safe
+    # µ=0⁺ lane: ivup=0 so the up-sweep substitution r = s + gs·ivup·j is
+    # the identity there and I(µ=0)=Jₙ rides through exactly
+    rowc[RC_IVUP, m] = 0.0
     rowc[RC_MU, :] = mu
     rowc[RC_MU, m] = 0.0
 
@@ -314,12 +433,14 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     return f(wall), f(valid), f(place), f(bcmat), f(rowc)
 
 
-def mega_call(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t,
+def mega_call(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t,
               *, nb_angles: int, tol: float, max_orders: int,
-              cols_per_block: int, interpret: bool = False):
+              cols_per_block: int, interpret: bool = False,
+              ablate: str = ""):
     """Run the whole-solve kernel.
 
-    pack: (L, B, PK_W); cpar: (B, CP_W); i1t: (L, B, 2M).
+    pack: (L, B, PK_W); cpar: (B, CP_W); acat: the horizontally stacked
+    (2M, 4M) source operator [A_atm | A_aer]; i1t: (L, B, 2M).
     Returns (itot (L, B, 2M), stats (B, ST_W)).
     """
     L, B, m2 = i1t.shape
@@ -328,7 +449,7 @@ def mega_call(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t,
     nblk = B // C
     dtype = i1t.dtype
     kern = functools.partial(_mega_kernel, nb_angles=nb_angles, tol=tol,
-                             max_orders=max_orders)
+                             max_orders=max_orders, ablate=ablate)
     grid_spec = pl.GridSpec(
         grid=(nblk,),
         in_specs=[
@@ -338,8 +459,8 @@ def mega_call(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RC_H, m2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m2, 2 * m2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((m2, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m2, 4 * SLOT), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -356,7 +477,7 @@ def mega_call(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t,
             pl.BlockSpec((C, ST_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((L, C, m2), dtype) for _ in range(5)],
+        scratch_shapes=[pltpu.VMEM((L, C, m2), dtype) for _ in range(14)],
     )
     return pl.pallas_call(
         kern,
@@ -364,6 +485,6 @@ def mega_call(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t,
         out_shape=[jax.ShapeDtypeStruct((L, B, m2), dtype),
                    jax.ShapeDtypeStruct((B, ST_W), dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(pack, cpar, rowc, aatm, aaer, bcmat, wall, place, valid, i1t)
+    )(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t)
