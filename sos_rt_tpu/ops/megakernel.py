@@ -11,7 +11,7 @@ of C columns entirely in VMEM for the whole solve:
   pathological in Mosaic; leading-dim indexing is free), C columns on
   sublanes, all 2M angles on lanes;
 - the Jₙ source (SOS_Aer_main_lambertian.py:317-325) is ONE
-  (L·C, 2M)@(2M, 2M) MXU matmul per species per order;
+  (L·C, 2M)@(2M, 4M) MXU matmul per order (both species stacked);
 - down/up sweeps (main_lambertian.py:328-451) are in-VMEM affine
   recurrences over (C, 2M) planes — identical math to ops/sweeps.py;
 - the µ→0⁻ polyfit band (SOS_Aer_In_limit.py:113-141) is applied as
@@ -20,15 +20,36 @@ of C columns entirely in VMEM for the whole solve:
   with lane rolls and one-hot reductions;
 - convergence (the 100 ppm criterion, main_lambertian.py:311) is
   per-BLOCK: each block of C columns exits its own `lax.while_loop`
-  when *its* columns converge — no global straggler sync;
-- HBM traffic per solve: read I₁ + pack once, write I_tot once
-  (vs ~6 full-field passes *per order* before).
+  when *its* columns converge — no global straggler sync.
+
+Order-loop structure (v2 — the whole loop is exactly TWO chunked field
+passes, measured VMEM-traffic-bound on v5e):
+
+- **pass A (forward)**: stream (G, C, 2M) chunks; Jₙ matmul, then the
+  downward affine recurrence unrolled over the chunk's G layers with the
+  carry in registers.  Writes two scratches (jn, r_down).
+- **pass B (reverse)**: stream chunks last-to-first; extract I↓ + µ→0⁻
+  fixes + surface BC, run the upward recurrence unrolled (register
+  carry), apply the region-join chain corrections via two *running
+  attenuation carries* (q1, q2 — see below), smooth, accumulate I_tot,
+  all in one pass.
+
+The join corrections: the reference re-chains the upward sweep from the
+smoothed boundary values at the region joins t=idx_down+1 and t=idx_up
+(main_lambertian.py:235-294 structure); algebraically the correction at
+layer t above a join t₀ is d·e^{-(τ(t₀)-τ(t))/µ}, where d is the
+smoothing delta at the join.  Since pass B walks t downward through
+exactly the layers between t₀ and t, the exponential is maintained as a
+running product of the per-step attenuations (q ← q·a_t), and d is
+captured from the smoothing delta (sm − f) at the join layer itself —
+no extra field passes, no precomputed attenuation scratches.
 
 Scope: grids whose |µ| < MU_THRESHOLD set is empty (nb_angles ≤ 101,
 spacing ≥ 0.01 — the production sweep grids) and band_max ≤ 32.  The
 general path (sos_rt_tpu/fused.py / solver.py) covers everything else.
 
-Per-column results are identical (up to matmul accumulation order) to
+Per-column results are identical (up to matmul accumulation order and
+exp-product reassociation, ≲1e-13 rel in f64) to
 ``sos_rt_tpu.solver.solve_column``; see tests/test_mega.py.
 """
 from __future__ import annotations
@@ -104,33 +125,36 @@ def _smooth_tile(v, m, m2, lanef):
 def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
                  wall_ref, place_ref, valid_ref,
                  i1_ref, itot_ref, stats_ref,
-                 field_ref, jn_ref, att_ref, att1_ref, att2_ref, cv_ref,
-                 cab_ref, crb_ref, cdnb_ref, hupb_ref, cupb_ref, gsb_ref,
-                 r1b_ref, r2b_ref,
+                 field_ref, jn_ref, rdn_ref, att_ref,
                  *, nb_angles: int, tol: float, max_orders: int,
                  ablate: str = ""):
-    """Whole-solve kernel body.
+    """Whole-solve kernel body (two field passes per order).
 
-    Performance structure (each rule measured on v5e, see
-    tools/micro_ops.py):
+    Performance structure (measured on v5e, see tools/micro_ops.py and
+    tools/ablate_kernel.py):
 
     - every wide pass streams the (L, C, 2M) field in chunks of G layers
-      — a (G·C, 2M) tile is a few dozen vregs, so live values stay
-      register-resident instead of materializing 4 MB per pass;
-    - per-(layer,column) scalars are NEVER extracted + lane-broadcast
-      inside the order loop (that pattern costs ~3 µs/pass vs 0.4 µs for
-      a plain two-ref FMA): the `pre` stage broadcasts each coefficient
-      once into a dedicated (L, C, 2M) scratch (cab..r2b);
+      — a (G·C, 2M) tile is a few dozen vregs, so intermediates stay in
+      VMEM without round-tripping whole 4 MB buffers between stages;
+    - the sequential sweep recurrences run *inside* the chunk loops,
+      unrolled over the G layers with the carry in registers — no
+      separate L-step loops, no extra source/result field passes;
+    - per-(layer,column) scalars come straight from the (G, C, 16) pack
+      chunk and are broadcast chunk-wide in registers (one small mul),
+      never materialized as (L, C, 2M) scratches;
     - the two Jₙ species matmuls run as ONE dot against the horizontally
-      stacked (2M, 4M) operator;
-    - the chain-correction masks (region indicators ch1/ch2, up-lane
-      mask) are folded into att1/att2 at `pre` time.
+      stacked (2M, 4M) operator.
+
+    Scratches: field (Iₙ), jn (Jₙ), rdn (down-sweep results), att
+    (per-step attenuations, loop-invariant) — 4 × (L, C, 2M).
 
     ``ablate``: comma-separated static flags that cut out kernel stages
     for performance attribution (tools/ablate_kernel.py) — results are
-    WRONG with any flag set.  noconv: fixed order count; noloops: skip
-    the two sequential sweeps; nosrc: skip the Jₙ matmuls; nopoly: skip
-    the polyfit-band matmuls; nofin: skip chain-correction + smoothing.
+    WRONG with any flag set.  noconv: fixed order count; nosrc: skip the
+    Jₙ matmuls; noloops: skip the two in-register recurrences; nopoly:
+    skip the polyfit-band matmuls; nosmooth: skip the smoothing walk;
+    nobc: skip the surface BC dot; nopassA/nopassB: skip whole passes;
+    noratio: keep the first ratio.
     """
     ab = frozenset(ablate.split(",")) if ablate else frozenset()
     L, C, m2 = i1_ref.shape
@@ -143,60 +167,34 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (C, m2), 1)
     lanes_c = jax.lax.broadcasted_iota(jnp.int32, (GC, m2), 1)
     lanef = lanes.astype(dtype)
-    lanef_c = lanes_c.astype(dtype)
     is_dn = lanes < m
     is_up = lanes >= m
     lane_m = lanes == m
+    corr_mask = (is_up & ~lane_m).astype(dtype)
     is_dn_c = lanes_c < m
     lane_m_c = lanes_c == m
     e_mu = rowc_ref[RC_EMU, :][None, :]
     ivdn = rowc_ref[RC_IVDN, :][None, :]
     ivup = rowc_ref[RC_IVUP, :][None, :]
-    tau_r1 = cpar_ref[:, CP_TAU_R1][:, None]
-    tau_r2 = cpar_ref[:, CP_TAU_R2][:, None]
     grd = cpar_ref[:, CP_GRD][:, None]
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=dtype,
                        precision=MATMUL_PRECISION)
 
-    # loop-invariant smalls: placed polyfit validity rows (4, 2M) and the
-    # region-join chain attenuation (C, 2M)
+    # loop-invariant: placed polyfit validity rows (4, 2M)
     pvt = dot(valid_ref[0:4, :], place_ref[:, :])
-    att_12 = jnp.exp(-jnp.maximum(tau_r1 - tau_r2, 0.0) * ivup)
 
-    # ---- `pre`: one chunked pass filling every loop-invariant scratch:
-    # per-step attenuations a_t (down lanes e^{Δτ_t/µ}, up lanes
-    # e^{-Δτ_{t+1}/µ}, 0 at the µ=0⁺ lane so the up recurrence pins
-    # I(µ=0)=Jₙ), masked chain attenuations, and the lane-broadcast
-    # per-(layer,column) coefficients ----
+    # ---- `pre`: per-step attenuations a_t (down lanes e^{Δτ_t/µ}, up
+    # lanes e^{-Δτ_{t+1}/µ}, 0 at the µ=0⁺ lane so the up recurrence pins
+    # I(µ=0)=Jₙ); field/I_tot init from I₁ ----
     def pre(g, _):
         sl = pl.ds(g * G, G)
-        pk3 = pack_ref[sl]                                # (G, C, PK_W)
-        pk = pk3.reshape(GC, PK_W)
+        pk = pack_ref[sl].reshape(GC, PK_W)
         hdt = jnp.where(is_dn_c, pk[:, PK_HDT_DN:PK_HDT_DN + 1],
                         pk[:, PK_HDT_UP:PK_HDT_UP + 1])
         a = jnp.exp(2.0 * hdt * e_mu)
         att_ref[sl] = jnp.where(lane_m_c, 0.0, a).reshape(G, C, m2)
-        corr_mask3 = (is_up & ~lane_m)[None].astype(dtype)   # (1, C, 2M)
-        tau_t3 = pk3[:, :, PK_TAU:PK_TAU + 1]                # (G, C, 1)
-        a1 = jnp.exp(-jnp.maximum(tau_r1[None] - tau_t3, 0.0) * ivup[None])
-        a2 = jnp.exp(-jnp.maximum(tau_r2[None] - tau_t3, 0.0) * ivup[None])
-        att1_ref[sl] = (corr_mask3 * pk3[:, :, PK_CH1:PK_CH1 + 1] * a1)
-        att2_ref[sl] = (corr_mask3 * pk3[:, :, PK_CH2:PK_CH2 + 1] * a2)
-        ones = jnp.ones((GC, m2), dtype)
-        cab_ref[sl] = (pk[:, PK_COEF_ATM:PK_COEF_ATM + 1]
-                       * ones).reshape(G, C, m2)
-        crb_ref[sl] = (pk[:, PK_COEF_AER:PK_COEF_AER + 1]
-                       * ones).reshape(G, C, m2)
-        cdnb_ref[sl] = (pk[:, PK_CDN:PK_CDN + 1] * ones).reshape(G, C, m2)
-        hupb_ref[sl] = (pk[:, PK_HDT_UP:PK_HDT_UP + 1]
-                        * ones).reshape(G, C, m2)
-        cupb = pk[:, PK_CUP:PK_CUP + 1] * ivup
-        cupb_ref[sl] = jnp.where(lane_m_c, 1.0, cupb).reshape(G, C, m2)
-        gsb_ref[sl] = (pk[:, PK_GS:PK_GS + 1] * ivup).reshape(G, C, m2)
-        r1b_ref[sl] = (pk[:, PK_R1:PK_R1 + 1] * ones).reshape(G, C, m2)
-        r2b_ref[sl] = (pk[:, PK_R2:PK_R2 + 1] * ones).reshape(G, C, m2)
         i1g = i1_ref[sl]
         itot_ref[sl] = i1g
         field_ref[sl] = i1g
@@ -227,54 +225,61 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
         ratio, n = carry
         active = (ratio >= tol).astype(dtype)             # (C, 1)
 
-        # ---- pass 1: Jₙ = cab·(Iₙ₋₁ @ A_atm) + crb·(Iₙ₋₁ @ A_aer), one
-        # stacked dot; + the down-scan source.  The raw down recurrence
-        # s_t = a_t(s_{t-1} + w_t j_{t-1}) + w_t j_t (w_t = hdt_dn[t]) is
-        # substituted r_t = s_t + hdt_up[t]·j_t (hdt_up[t] = hdt_dn[t+1])
-        # giving r_t = a_t r_{t-1} + cdn_t·j_t with a layer-LOCAL source,
-        # so the sweep loop is one FMA ----
-        def p1(g, _):
+        # ---- pass A (forward): Jₙ = cab·(Iₙ₋₁ @ A_atm) + crb·(Iₙ₋₁ @
+        # A_aer) as one stacked dot, then the downward recurrence.  The
+        # raw recurrence s_t = a_t(s_{t-1} + w_t j_{t-1}) + w_t j_t
+        # (w_t = hdt_dn[t]) is substituted r_t = s_t + hdt_up[t]·j_t
+        # (hdt_up[t] = hdt_dn[t+1]) giving r_t = a_t r_{t-1} + cdn_t·j_t
+        # with a layer-LOCAL source — one FMA per layer, carry in
+        # registers, unrolled across the chunk ----
+        def passA(g, r):
             sl = pl.ds(g * G, G)
+            pk3 = pack_ref[sl]                            # (G, C, PK_W)
             fv = field_ref[sl].reshape(GC, m2)
             if "nosrc" in ab:
-                jn = fv + 1.0
+                jn3 = (fv + 1.0).reshape(G, C, m2)
             else:
+                pk = pk3.reshape(GC, PK_W)
                 out = dot(fv, acat_ref[:, :])             # (GC, 4M)
-                jn = (cab_ref[sl].reshape(GC, m2) * out[:, :m2]
-                      + crb_ref[sl].reshape(GC, m2) * out[:, m2:])
-            jn_ref[sl] = jn.reshape(G, C, m2)
-            cv_ref[sl] = (cdnb_ref[sl].reshape(GC, m2)
-                          * jn).reshape(G, C, m2)
-            return 0
-
-        if "nop1" not in ab:
-            jax.lax.fori_loop(0, NG, p1, 0)
-
-        # ---- downward sweep (r values overwrite cv in place) ----
-        def down(t, r):
-            r = att_ref[t] * r + cv_ref[t]
-            cv_ref[t] = r
+                jn3 = (pk[:, PK_COEF_ATM:PK_COEF_ATM + 1] * out[:, :m2]
+                       + pk[:, PK_COEF_AER:PK_COEF_AER + 1] * out[:, m2:]
+                       ).reshape(G, C, m2)
+            jn_ref[sl] = jn3
+            src3 = pk3[:, :, PK_CDN:PK_CDN + 1] * jn3     # (G, C, 2M)
+            if "noloops" in ab:
+                rdn_ref[sl] = src3
+                return r
+            att3 = att_ref[sl]
+            rs = []
+            for k in range(G):
+                r = att3[k] * r + src3[k]
+                rs.append(r)
+            rdn_ref[sl] = jnp.stack(rs, axis=0)
             return r
 
-        if "noloops" not in ab:
-            jax.lax.fori_loop(0, L, down, jnp.zeros((C, m2), dtype))
+        if "nopassA" not in ab:
+            jax.lax.fori_loop(0, NG, passA, jnp.zeros((C, m2), dtype))
 
-        # ---- pass 2: extract I↓ + narrow fixes (µ=0⁻ zero, polyfit band
-        # via static-stencil matmuls) + the up-scan source.  The raw
-        # reverse recurrence s_t = a_t s_{t+1} + d_t w_t ivup (j_t +
-        # a_t j_{t+1}) (w_t = hdt_up[t], d_t = 1-drop_t) is substituted
-        # r_t = s_t + gs_t·ivup·j_t (gs_t = d_{t-1} w_{t-1}) giving
-        # r_t = a_t r_{t+1} + cup_t·ivup·j_t; the µ=0⁺ lane rides along
-        # with a=0, cupb=1, c=jₙ, which pins I(µ=0)=Jₙ exactly ----
-        def p2(g, _):
+        # ---- pass B (reverse): extract I↓ + narrow fixes (µ=0⁻ zero,
+        # polyfit band via static-stencil matmuls), surface BC on the
+        # first (deepest) chunk, upward recurrence r_t = a_t r_{t+1} +
+        # cup_t·ivup·j_t (the µ=0⁺ lane rides along with a=0, cup=1,
+        # src=jₙ, pinning I(µ=0)=Jₙ exactly), region-join corrections via
+        # the running carries q1/q2, smoothing, accumulation ----
+        def passB(grev, carry):
+            r, q1, q2 = carry
+            g = NG - 1 - grev
             sl = pl.ds(g * G, G)
-            rv = cv_ref[sl].reshape(GC, m2)
-            jn = jn_ref[sl].reshape(GC, m2)
-            s_dn = rv - hupb_ref[sl].reshape(GC, m2) * jn
+            pk3 = pack_ref[sl]
+            jn3 = jn_ref[sl]
+            att3 = att_ref[sl]
+            jnf = jn3.reshape(GC, m2)
+            s_dn = (rdn_ref[sl].reshape(GC, m2)
+                    - pk3[:, :, PK_HDT_UP:PK_HDT_UP + 1].reshape(GC, 1) * jnf)
             fv = jnp.where(is_dn_c, -s_dn * ivdn, 0.0)
             fv = jnp.where(lanes_c == m - 1, 0.0, fv)
             if "nopoly" not in ab:
-                pk = pack_ref[sl].reshape(GC, PK_W)
+                pk = pk3.reshape(GC, PK_W)
                 polys = dot(fv, wall_ref[:, :])
                 choice = pk[:, PK_CHOICE:PK_CHOICE + 1]
                 band = polys[:, 0:SLOT]
@@ -286,72 +291,58 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
                     vsel = jnp.where(sel, pvt[c][None, :], vsel)
                 placed = dot(band, place_ref[:, :])
                 fv = jnp.where(vsel > 0.5, placed, fv)
-            field_ref[sl] = fv.reshape(G, C, m2)
-            cv_ref[sl] = (cupb_ref[sl].reshape(GC, m2) * jn).reshape(G, C, m2)
-            return 0
+            fv3 = fv.reshape(G, C, m2)
 
-        if "nop2" not in ab:
-            jax.lax.fori_loop(0, NG, p2, 0)
+            # surface BC from the deepest layer's I↓ (first chunk only)
+            if "nobc" in ab:
+                i_surf = jn3[G - 1]
+            else:
+                bc = grd * dot(jnp.where(is_dn, fv3[G - 1], 0.0),
+                               bcmat_ref[:, :])
+                i_surf = jnp.where(lane_m, jn3[G - 1], bc)
+            first = grev == 0
+            r = jnp.where(first, i_surf, r)
 
-        # ---- surface boundary condition ----
-        if "nobc" in ab:
-            i_surf = jn_ref[L - 1]
-        else:
-            surf = field_ref[L - 1]
-            bc = grd * dot(jnp.where(is_dn, surf, 0.0), bcmat_ref[:, :])
-            i_surf = jnp.where(lane_m, jn_ref[L - 1], bc)
+            # up-sweep sources, chunk-wide
+            cup3 = pk3[:, :, PK_CUP:PK_CUP + 1] * ivup[None]
+            cup3 = jnp.where(lane_m_c.reshape(G, C, m2), 1.0, cup3)
+            src3 = cup3 * jn3
+            gsv3 = (pk3[:, :, PK_GS:PK_GS + 1] * ivup[None]) * jn3
+            r1m = pk3[:, :, PK_R1:PK_R1 + 1] > 0.5        # (G, C, 1)
+            r2m = pk3[:, :, PK_R2:PK_R2 + 1] > 0.5
 
-        # ---- upward sweep (reverse; r values overwrite cv in place) ----
-        def up(i, r):
-            t = L - 1 - i
-            r = att_ref[t] * r + cv_ref[t]
-            cv_ref[t] = r
-            return r
-
-        if "noloops" not in ab:
-            jax.lax.fori_loop(0, L, up, i_surf)
-
-        # ---- pass 3: extract I↑; region-join rows as one-hot sums ----
-        def p3(g, rows):
-            row1, row2 = rows
-            sl = pl.ds(g * G, G)
-            s_up3 = cv_ref[sl] - gsb_ref[sl] * jn_ref[sl]
-            field_ref[sl] = jnp.where(is_up[None], s_up3, field_ref[sl])
-            row1 = row1 + jnp.sum(r1b_ref[sl] * s_up3, axis=0)
-            row2 = row2 + jnp.sum(r2b_ref[sl] * s_up3, axis=0)
-            return row1, row2
+            out_rows = []
+            it3 = itot_ref[sl]
+            for k in range(G - 1, -1, -1):
+                if "noloops" in ab:
+                    r_new = src3[k]
+                else:
+                    r_new = att3[k] * r + src3[k]
+                r = r_new
+                s_up = r_new - gsv3[k]
+                f = jnp.where(is_up, s_up, fv3[k])
+                q1 = q1 * att3[k]
+                q2 = q2 * att3[k]
+                if "nofin" in ab:
+                    sm = f
+                else:
+                    f = f + corr_mask * (q1 + q2)
+                    if "nosmooth" in ab:
+                        sm = f
+                    else:
+                        sm = _smooth_tile(f, m, m2, lanef)
+                    d = sm - f
+                    q1 = jnp.where(r1m[k], d, q1)
+                    q2 = jnp.where(r2m[k], d, q2)
+                out_rows.append(sm)
+            new3 = jnp.stack(out_rows[::-1], axis=0)
+            field_ref[sl] = new3
+            itot_ref[sl] = it3 + active[None] * new3
+            return r, q1, q2
 
         z = jnp.zeros((C, m2), dtype)
-        if "nop3" in ab:
-            row1, row2 = z, z
-        else:
-            row1, row2 = jax.lax.fori_loop(0, NG, p3, (z, z))
-
-        if "nofin" in ab:
-            def p4(g, _):
-                sl = pl.ds(g * G, G)
-                itot_ref[sl] = itot_ref[sl] + active[None] * field_ref[sl]
-                return 0
-        else:
-            # ---- smoothed-boundary chain deltas at the region joins ----
-            d1 = _smooth_tile(row1, m, m2, lanef) - row1
-            row2c = row2 + d1 * att_12
-            d2 = _smooth_tile(row2c, m, m2, lanef) - row2c
-
-            # ---- pass 4: chain corrections (masks pre-folded into
-            # att1/att2) + smoothing + accumulate ----
-            def p4(g, _):
-                sl = pl.ds(g * G, G)
-                corr = d1[None] * att1_ref[sl] + d2[None] * att2_ref[sl]
-                f = _smooth_tile((field_ref[sl] + corr).reshape(GC, m2),
-                                 m, m2, lanef_c)
-                f3 = f.reshape(G, C, m2)
-                field_ref[sl] = f3
-                itot_ref[sl] = itot_ref[sl] + active[None] * f3
-                return 0
-
-        if "nop4" not in ab:
-            jax.lax.fori_loop(0, NG, p4, 0)
+        if "nopassB" not in ab:
+            jax.lax.fori_loop(0, NG, passB, (z, z, z))
 
         if "noratio" in ab:
             rnew = ratio
@@ -477,7 +468,7 @@ def mega_call(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t,
             pl.BlockSpec((C, ST_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((L, C, m2), dtype) for _ in range(14)],
+        scratch_shapes=[pltpu.VMEM((L, C, m2), dtype) for _ in range(4)],
     )
     return pl.pallas_call(
         kern,
@@ -485,6 +476,7 @@ def mega_call(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t,
         out_shape=[jax.ShapeDtypeStruct((L, B, m2), dtype),
                    jax.ShapeDtypeStruct((B, ST_W), dtype)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t)
