@@ -43,9 +43,9 @@ from sos_rt_tpu.solver import PhaseTables, Solution
 
 
 def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
-                     opts: SolverOptions, cols_per_block: int = 64,
+                     opts: SolverOptions, cols_per_block: int | None = None,
                      interpret: bool | None = None, sort: bool = True,
-                     ablate: str = ""):
+                     mm: str | None = None, ablate: str = ""):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
@@ -57,6 +57,10 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     convergence-homogeneous (blocks exit their while_loop together instead
     of dragging fast columns to a slow straggler's trip count); results
     are returned in the caller's order, per-column values unchanged.
+
+    ``mm`` selects the matmul precision mode: 'bf16x3' (manual 3-pass
+    bf16 decomposition, ~1e-7 relative — the f32 default) or 'highest'
+    (6-pass, used automatically for f64).
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -78,23 +82,41 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         sol = solve_batch_mega(scenes, tables, grid, opts,
                                cols_per_block=cols_per_block,
                                interpret=interpret, sort=False,
-                               ablate=ablate)
+                               mm=mm, ablate=ablate)
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
+    if mm is None:
+        mm = "bf16x3" if dtype == jnp.float32 else "highest"
     L, M = grid.nb_layers, grid.nb_angles
-    m2 = 2 * M
     mu = jnp.asarray(grid.mu(), dtype)
     w_mu_np = np.asarray(grid.trapz_weights(), np.float64)
     w_mu = jnp.asarray(w_mu_np, dtype)
     B = jnp.shape(jnp.asarray(scenes.mu0))[0]
-    C = min(cols_per_block, B)
+    if cols_per_block is None:
+        # compiled lane slices index at multiples of C — keep it one tile
+        cols_per_block = min(B, 64) if interpret else 128
+    C = min(cols_per_block, B) if interpret else cols_per_block
     pad = (-B) % C
     if pad:
         scenes = jax.tree_util.tree_map(
             lambda x: jnp.concatenate(
                 [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]), scenes)
+        if jnp.ndim(tables.p0_atm) == 2:
+            tables = dataclasses.replace(
+                tables,
+                p0_atm=jnp.concatenate(
+                    [tables.p0_atm,
+                     jnp.broadcast_to(tables.p0_atm[-1:],
+                                      (pad,) + tables.p0_atm.shape[1:])]),
+                p0_aer=jnp.concatenate(
+                    [tables.p0_aer,
+                     jnp.broadcast_to(tables.p0_aer[-1:],
+                                      (pad,) + tables.p0_aer.shape[1:])]))
     Bp = B + pad
+    nblk = Bp // C
+    G = next(d for d in (8, 4, 2, 1) if L % d == 0)
+    NG = L // G
 
     tau, idx_up, idx_down = jax.vmap(
         lambda ta, tr, z0, zu, zd: tau_profile(ta, tr, z0, zu, zd, L)
@@ -121,14 +143,29 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
       idx_up, idx_down, w_atm, w_aer, tables.p0_atm, tables.p0_aer)
     # i1t: (L, B, 2M)
 
-    # ---- pack (L, B, PK_W) ----
+    def to_lanes(x_lb):
+        """(L, B) → (NG, G·B) in the kernel's (chunk, block·layer·col)
+        lane layout (block i lanes [i·G·C, ...), lane = k·C + c)."""
+        x = x_lb.reshape(NG, G, nblk, C)
+        return x.transpose(0, 2, 1, 3).reshape(NG, nblk * G * C)
+
+    def half_to_lanes(x_lbm):
+        """(L, B, M) → (NG, M, G·B) angle-major half field."""
+        x = x_lbm.reshape(NG, G, nblk, C, M)
+        return x.transpose(0, 4, 2, 1, 3).reshape(NG, M, nblk * G * C)
+
+    def half_from_lanes(x):
+        """(NG, M, G·B) → (B, L, M)."""
+        y = x.reshape(NG, M, nblk, G, C)
+        return y.transpose(2, 4, 0, 3, 1).reshape(Bp, L, M)
+
+    # ---- pack rows (L, B) → (NG, PK_W, G·B) ----
     t_idx = jnp.arange(L)[:, None]
     iu = idx_up[None, :]
     idn = idx_down[None, :]
     tau_t = tau.T                                           # (L, B)
     drop = ((t_idx == idn) | (t_idx == iu - 1)
             | (t_idx == L - 1)).astype(dtype)
-    ch1 = (t_idx <= idn).astype(dtype)
     ch2 = (t_idx < iu).astype(dtype)
     r1 = (t_idx == idn + 1).astype(dtype)
     r2 = (t_idx == iu).astype(dtype)
@@ -158,32 +195,34 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     # the aerosol layer, variant B/C below (ch2 = t < idx_up)
     choice_res = jnp.where(ch2 > 0.5, ones_l * choice_a[None, :],
                            ones_l * choice_bc[None, :])
-    pack = jnp.stack([
-        tau_t, drop, ch1, ch2, r1, r2, hdt_dn, hdt_up, coef_atm, coef_aer,
-        ones_l * choice_a[None, :], ones_l * choice_bc[None, :],
-        cdn, cup, gs, choice_res], axis=-1)
+    zeros_lb = jnp.zeros((L, Bp), dtype)
+    rows = [tau_t, hdt_dn, hdt_up, coef_atm, coef_aer, cdn, cup, gs,
+            r1, r2, choice_res]
+    rows += [zeros_lb] * (mk.PK_W - len(rows))
+    pack = jnp.stack([to_lanes(x) for x in rows], axis=1)
 
-    tau_r1 = jnp.sum(r1.T * tau, axis=1)
-    tau_r2 = jnp.sum(r2.T * tau, axis=1)
     grd = jnp.asarray(scenes.grd_alb, dtype)
-    cpar = jnp.stack([tau_r1, tau_r2, grd] +
-                     [jnp.zeros((Bp,), dtype)] * (mk.CP_W - 3), axis=-1)
+    cpar = jnp.stack([grd] + [jnp.zeros((Bp,), dtype)] * (mk.CP_W - 1),
+                     axis=0)
 
     a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
-    a_cat = jnp.concatenate([a_atm, a_aer], axis=1)       # (2M, 4M)
-    wall, valid, place, bcmat, rowc = mk.build_static_operators(
-        grid, stencils, opts.surface, w_mu_np, dtype)
+    ws = mk.stack_source_operator(a_atm, a_aer, M, mm, dtype)
+    ops = mk.build_static_operators(grid, stencils, opts.surface,
+                                    w_mu_np, dtype, mm)
 
-    itot_t, stats = mk.mega_call(
-        pack, cpar, rowc, a_cat, bcmat, wall, place, valid, i1t,
+    i1dn = half_to_lanes(i1t[:, :, :M])
+    i1up = half_to_lanes(i1t[:, :, M:])
+    itd, itu, stats = mk.mega_call(
+        pack, cpar, ops, ws, i1dn, i1up,
         nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
-        cols_per_block=C, interpret=interpret, ablate=ablate)
+        cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate)
 
-    i_total = jnp.swapaxes(itot_t, 0, 1)[:B]
+    i_total = jnp.concatenate(
+        [half_from_lanes(itd), half_from_lanes(itu)], axis=2)[:B]
     i1 = jnp.swapaxes(i1t, 0, 1)[:B]
-    n_orders = stats[:B, mk.ST_N].astype(jnp.int32)
-    converged = stats[:B, mk.ST_CONV] > 0.5
+    n_orders = stats[mk.ST_N, :B].astype(jnp.int32)
+    converged = stats[mk.ST_CONV, :B] > 0.5
     return Solution(i_total=i_total, i1=i1, n_orders=n_orders,
                     converged=converged, tau=tau[:B],
                     idx_up=idx_up[:B], idx_down=idx_down[:B])

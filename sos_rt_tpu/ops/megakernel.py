@@ -1,61 +1,65 @@
 """Whole-solve Pallas TPU kernel: the entire SOS order loop per column block.
 
-Motivation (measured on v5e): the two-kernel-per-order fused path spends
-~40 ms/order at B=2048 — latency-bound on tiny (16, 64) tiles plus ~6 HBM
-full-field passes per order — and its global `lax.while_loop` drags every
-column to the slowest column's order count.  This kernel keeps one block
-of C columns entirely in VMEM for the whole solve:
+v3 — angle-major half-field layout.  Motivation (measured on v5e):
+the v2 row-major kernel ((layer, column, angle) with angles on lanes)
+spent most of each order in (a) full-width elementwise chains that
+touched all 2M lanes even though every sweep stage only concerns one
+half of the µ grid, and (b) the µ→0⁺ smoothing walk's two cross-LANE
+reductions (~7 shuffle steps × all vregs, per layer per order).  v3
+stores the two half-fields separately with ANGLES ON SUBLANES and
+(layer-chunk × column) on lanes:
 
-- layout: fields are (L, C, 2M) — layer on the *leading* (untiled) axis
-  so the sweeps index whole (C, 2M) planes (dynamic sublane offsets are
-  pathological in Mosaic; leading-dim indexing is free), C columns on
-  sublanes, all 2M angles on lanes;
+    field_dn, field_up : (NG, M, G·C)   — layer t=(g,k) is the lane
+    slice [g][:, kC:(k+1)C]; angle µ is the sublane row.
+
+so every elementwise op touches only its half (8 vregs per (M=64,
+C=128) plane instead of 16), the smoothing reductions become sublane
+TREES (pairwise vreg ops + an in-vreg reduce — ~6x cheaper than lane
+shuffles), and the per-order matmuls run chunk-batched on (·, G·C)
+tiles:
+
 - the Jₙ source (SOS_Aer_main_lambertian.py:317-325) is ONE
-  (L·C, 2M)@(2M, 4M) MXU matmul per order (both species stacked);
-- down/up sweeps (main_lambertian.py:328-451) are in-VMEM affine
-  recurrences over (C, 2M) planes — identical math to ops/sweeps.py;
-- the µ→0⁻ polyfit band (SOS_Aer_In_limit.py:113-141) is applied as
-  static-stencil matmuls (select + place matrices built host-side);
-- the µ→0⁺ smoothing walk (main_lambertian.py:405-411) runs full-width
-  with lane rolls and one-hot reductions;
+  (4M, 2M) @ (2M, G·C) MXU dot per chunk (both species' operators
+  stacked on output rows), recombined by the per-(layer, column)
+  mixing coefficients;
+- matmuls use a manual 3-pass bf16 decomposition (a ≈ a_hi + a_lo,
+  a@x ≈ a_hi@x_hi + a_hi@x_lo + a_lo@x_hi, f32 accumulation): Mosaic
+  only offers DEFAULT (1 bf16 pass, ~3 digits — compounds to percent
+  radiance error over tens of orders) or HIGHEST (6 passes); bf16x3
+  gives ~1e-7 relative dot error at half HIGHEST's MXU cost;
+- down/up sweeps (main_lambertian.py:328-451) are per-layer affine
+  recurrences with the carry in registers — identical math to
+  ops/sweeps.py and to the v2 kernel;
+- the µ→0⁻ polyfit band (SOS_Aer_In_limit.py:113-141) is applied by
+  static stencil matmuls from the LEFT (angle axis = contraction);
+- the µ→0⁺ smoothing walk (main_lambertian.py:405-411) runs per layer
+  on the up half with sublane rolls/reductions;
+- the region-join corrections ride as two running attenuation carries
+  q1/q2 exactly as in v2 (see the join-correction note below);
 - convergence (the 100 ppm criterion, main_lambertian.py:311) is
-  per-BLOCK: each block of C columns exits its own `lax.while_loop`
-  when *its* columns converge — no global straggler sync.
+  per-BLOCK: each block of C columns exits its own `lax.while_loop`.
 
-Order-loop structure (v2 — the whole loop is exactly TWO chunked field
-passes, measured VMEM-traffic-bound on v5e):
-
-- **pass A (forward)**: stream (G, C, 2M) chunks; Jₙ matmul, then the
-  downward affine recurrence unrolled over the chunk's G layers with the
-  carry in registers.  Writes two scratches (jn, r_down).
-- **pass B (reverse)**: stream chunks last-to-first; extract I↓ + µ→0⁻
-  fixes + surface BC, run the upward recurrence unrolled (register
-  carry), apply the region-join chain corrections via two *running
-  attenuation carries* (q1, q2 — see below), smooth, accumulate I_tot,
-  all in one pass.
-
-The join corrections: the reference re-chains the upward sweep from the
+Join corrections: the reference re-chains the upward sweep from the
 smoothed boundary values at the region joins t=idx_down+1 and t=idx_up
-(main_lambertian.py:235-294 structure); algebraically the correction at
-layer t above a join t₀ is d·e^{-(τ(t₀)-τ(t))/µ}, where d is the
-smoothing delta at the join.  Since pass B walks t downward through
-exactly the layers between t₀ and t, the exponential is maintained as a
-running product of the per-step attenuations (q ← q·a_t), and d is
-captured from the smoothing delta (sm − f) at the join layer itself —
-no extra field passes, no precomputed attenuation scratches.
+(main_lambertian.py:235-294 structure); the correction at a layer t
+above a join t₀ is d·e^{-(τ(t₀)-τ(t))/µ} where d is the smoothing
+delta at the join.  Pass B walks t downward through exactly the layers
+between t₀ and t, so the exponential is maintained as a running
+product of per-step attenuations (q ← q·a_t) and d is captured from
+the smoothing delta at the join layer itself.
 
 Scope: grids whose |µ| < MU_THRESHOLD set is empty (nb_angles ≤ 101,
-spacing ≥ 0.01 — the production sweep grids) and band_max ≤ 32.  The
-general path (sos_rt_tpu/fused.py / solver.py) covers everything else.
+spacing ≥ 0.01 — the production sweep grids), band_max ≤ 32, uniform
+up-µ spacing, and nb_angles % 8 == 0 (sublane tiling).  The general
+path (sos_rt_tpu/fused.py / solver.py) covers everything else.
 
 Per-column results are identical (up to matmul accumulation order and
-exp-product reassociation, ≲1e-13 rel in f64) to
-``sos_rt_tpu.solver.solve_column``; see tests/test_mega.py.
+exp-product reassociation) to ``sos_rt_tpu.solver.solve_column``; see
+tests/test_mega.py.
 """
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -67,153 +71,142 @@ from sos_rt_tpu.config import MATMUL_PRECISION
 from sos_rt_tpu.ops.sweeps import SMOOTH_TOL, SweepStencils
 
 SLOT = 32          # padded polyfit band slots per variant (band_max ≤ 32)
-BIG = 1 << 30
 
-# pack lane indices (per layer × column scalars)
-PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP, \
-    PK_COEF_ATM, PK_COEF_AER, PK_CHOICE_A, PK_CHOICE_BC, \
-    PK_CDN, PK_CUP, PK_GS, PK_CHOICE = range(16)
+# pack sublane-row indices (per layer × column scalars, lanes = G·C)
+PK_TAU, PK_HDT_DN, PK_HDT_UP, PK_COEF_ATM, PK_COEF_AER, \
+    PK_CDN, PK_CUP, PK_GS, PK_R1, PK_R2, PK_CHOICE = range(11)
 PK_W = 16
 
-# cpar lane indices (per column scalars)
-CP_TAU_R1, CP_TAU_R2, CP_GRD = range(3)
+# cpar sublane-row indices (per column scalars)
+CP_GRD = 0
 CP_W = 8
 
-# rowconst row indices ((8, 2M) per-lane constants)
-RC_EMU, RC_IVDN, RC_IVUP, RC_MU = range(4)
-RC_H = 8
+# colc row indices ((RC_H, M, 128) per-angle constants, lane-replicated)
+RC_EMU_DN, RC_EMU_UP, RC_IVDN, RC_IVUP = range(4)
+RC_H = 4
 
-# stats lane indices (per column outputs)
+# stats sublane-row indices (per column outputs, (ST_H, C))
 ST_N, ST_CONV, ST_RATIO = range(3)
-ST_W = 128
+ST_H = 8
 
 BIGF = 1e9
 
 
-def _smooth_tile(v, m, m2, lanef):
-    """µ→0⁺ smoothing walk on (N, 2M) rows, full-width.
+def _dot3(hi_ref, lo_ref, x, *, mm: str, dtype):
+    """Fixed-operator @ x with static precision mode.
+
+    mm='bf16x3': operator pre-split host-side into bf16 hi/lo parts;
+    x split in-kernel; three DEFAULT-precision MXU passes, f32
+    accumulation (≈1e-7 relative error — between DEFAULT's one pass and
+    HIGHEST's six).  mm='highest': one HIGHEST dot on the f32 operator
+    (lo_ref carries zeros and is ignored).
+    """
+    if mm == "highest":
+        return jnp.dot(hi_ref[:, :].astype(dtype), x,
+                       preferred_element_type=dtype,
+                       precision=MATMUL_PRECISION)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(dtype)).astype(jnp.bfloat16)
+    d = functools.partial(jnp.dot, preferred_element_type=dtype)
+    return (d(hi_ref[:, :], x_hi) + d(hi_ref[:, :], x_lo)
+            + d(lo_ref[:, :], x_hi))
+
+
+def _smooth_up(v, rowf, m: int):
+    """µ→0⁺ smoothing walk on an up-half tile (M, N), angles on sublanes.
 
     Replicates ops/sweeps.py::smooth_up_rows (main_lambertian.py:405-411):
-    walk lanes M+1..2M-3 for the first second-difference ≤ 1e-4, blend
-    lanes (M, idx) linearly in µ between v[M] and v[idx].  Lanes < M are
-    untouched.
-
-    Two deviations from the obvious transcription, both measured on v5e:
-    - every lane-index comparison runs in FLOAT (``lanef`` is the lane
-      iota pre-cast to v.dtype) — an int32 lane-min reduction lowers
-      ~20x slower than the f32 one (34 µs vs ~2 µs per 4 MB pass);
-    - the blend weight µ_k/µ_idx is evaluated closed-form as
-      (k-M)/(idx-M), exact for the reference's uniform up-µ grid
-      (SOS_Aer_main_lambertian.py:59-61, enforced by ``mega_supported``),
-      removing two more cross-lane reductions.
+    walk rows 1..M-3 (µ indices m+1..2M-3) for the first second
+    difference ≤ 1e-4, blend rows (0, idx) linearly in µ between v[0]
+    and v[idx].  The blend weight µ_k/µ_idx is evaluated closed-form as
+    k/idx — exact for the reference's uniform up-µ grid
+    (SOS_Aer_main_lambertian.py:59-61, enforced by ``mega_supported``).
+    Reductions run along sublanes (vreg trees), not lanes.
     """
-    v1 = pltpu.roll(v, m2 - 1, 1)    # v1[l] = v[l+1] (wrap is masked below)
-    v2 = pltpu.roll(v, m2 - 2, 1)
+    M = v.shape[0]
+    v1 = pltpu.roll(v, M - 1, 0)     # v1[l] = v[l+1] (wrap masked below)
+    v2 = pltpu.roll(v, M - 2, 0)
     d = jnp.abs(v - 2.0 * v1 + v2)
-    ok = (d <= SMOOTH_TOL) & (lanef >= m + 1) & (lanef <= m2 - 3)
-    first = jnp.min(jnp.where(ok, lanef, BIGF), axis=1, keepdims=True)
-    idxf = jnp.minimum(first, m2 - 3) + 1.0
-    onehot = (lanef == idxf).astype(v.dtype)
-    i_val = jnp.sum(v * onehot, axis=1, keepdims=True)
-    base = v[:, m:m + 1]
-    weight = (lanef - m) / (idxf - m)
+    ok = (d <= SMOOTH_TOL) & (rowf >= 1.0) & (rowf <= M - 3)
+    first = jnp.min(jnp.where(ok, rowf, BIGF), axis=0, keepdims=True)
+    idxf = jnp.minimum(first, M - 3) + 1.0
+    onehot = (rowf == idxf).astype(v.dtype)
+    i_val = jnp.sum(v * onehot, axis=0, keepdims=True)
+    base = v[0:1, :]
+    weight = rowf / idxf
     blended = (1.0 - weight) * base + weight * i_val
-    do = (lanef >= m + 1) & (lanef < idxf)
+    do = (rowf >= 1.0) & (rowf < idxf)
     return jnp.where(do, blended, v)
 
 
-def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
-                 wall_ref, place_ref, valid_ref,
-                 i1_ref, itot_ref, stats_ref,
-                 field_ref, jn_ref, rdn_ref, att_ref,
+def _mega_kernel(pack_ref, cpar_ref, colc_ref,
+                 ws_hi, ws_lo, wall_hi, wall_lo, place_hi, place_lo,
+                 bc_hi, bc_lo, pvt_ref,
+                 i1dn_ref, i1up_ref,
+                 itotdn_ref, itotup_ref, stats_ref,
+                 attdn_ref, attup_ref, sdn_ref, jnup_ref,
+                 fdn_ref, fup_ref,
                  *, nb_angles: int, tol: float, max_orders: int,
-                 ablate: str = ""):
-    """Whole-solve kernel body (two field passes per order).
-
-    Performance structure (measured on v5e, see tools/micro_ops.py and
-    tools/ablate_kernel.py):
-
-    - every wide pass streams the (L, C, 2M) field in chunks of G layers
-      — a (G·C, 2M) tile is a few dozen vregs, so intermediates stay in
-      VMEM without round-tripping whole 4 MB buffers between stages;
-    - the sequential sweep recurrences run *inside* the chunk loops,
-      unrolled over the G layers with the carry in registers — no
-      separate L-step loops, no extra source/result field passes;
-    - per-(layer,column) scalars come straight from the (G, C, 16) pack
-      chunk and are broadcast chunk-wide in registers (one small mul),
-      never materialized as (L, C, 2M) scratches;
-    - the two Jₙ species matmuls run as ONE dot against the horizontally
-      stacked (2M, 4M) operator.
-
-    Scratches: field (Iₙ), jn (Jₙ), rdn (down-sweep results), att
-    (per-step attenuations, loop-invariant) — 4 × (L, C, 2M).
+                 mm: str, ablate: str = ""):
+    """Whole-solve kernel body (two chunked field passes per order).
 
     ``ablate``: comma-separated static flags that cut out kernel stages
     for performance attribution (tools/ablate_kernel.py) — results are
     WRONG with any flag set.  noconv: fixed order count; nosrc: skip the
-    Jₙ matmuls; noloops: skip the two in-register recurrences; nopoly:
-    skip the polyfit-band matmuls; nosmooth: skip the smoothing walk;
-    nobc: skip the surface BC dot; nopassA/nopassB: skip whole passes;
-    noratio: keep the first ratio.
+    Jₙ matmul; noloops: skip the two recurrences; nopoly: skip the
+    polyfit-band matmuls; nosmooth: skip the smoothing walk; nofin: skip
+    corrections+smoothing; nobc: skip the surface BC dot; nopassA /
+    nopassB: skip whole passes; noratio: keep the first ratio.
     """
     ab = frozenset(ablate.split(",")) if ablate else frozenset()
-    L, C, m2 = i1_ref.shape
-    m = nb_angles
-    dtype = i1_ref.dtype
-    G = next(d for d in (8, 4, 2, 1) if L % d == 0)
-    NG = L // G
-    GC = G * C
+    NG, M, GC = fdn_ref.shape
+    dtype = fdn_ref.dtype
+    C = cpar_ref.shape[1]          # columns per block
+    G = GC // C                    # layers per chunk
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (C, m2), 1)
-    lanes_c = jax.lax.broadcasted_iota(jnp.int32, (GC, m2), 1)
-    lanef = lanes.astype(dtype)
-    is_dn = lanes < m
-    is_up = lanes >= m
-    lane_m = lanes == m
-    corr_mask = (is_up & ~lane_m).astype(dtype)
-    is_dn_c = lanes_c < m
-    lane_m_c = lanes_c == m
-    e_mu = rowc_ref[RC_EMU, :][None, :]
-    ivdn = rowc_ref[RC_IVDN, :][None, :]
-    ivup = rowc_ref[RC_IVUP, :][None, :]
-    grd = cpar_ref[:, CP_GRD][:, None]
+    rowf_c = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0).astype(dtype)
+    row0_c = rowf_c < 0.5                       # µ=0⁺ row mask (M, C)
+    corr_c = (rowf_c >= 0.5).astype(dtype)      # up rows 1..M-1
+    rowf_g = jax.lax.broadcasted_iota(jnp.int32, (M, GC), 0).astype(dtype)
+    lastrow_g = rowf_g > M - 1.5                # µ=0⁻ row of the down half
 
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=dtype,
-                       precision=MATMUL_PRECISION)
+    emu_dn = colc_ref[RC_EMU_DN, :, 0:1]        # (M, 1)
+    emu_up = colc_ref[RC_EMU_UP, :, 0:1]
+    ivdn = colc_ref[RC_IVDN, :, 0:1]
+    ivup = colc_ref[RC_IVUP, :, 0:1]
+    grd = cpar_ref[CP_GRD:CP_GRD + 1, :]        # (1, C)
 
-    # loop-invariant: placed polyfit validity rows (4, 2M)
-    pvt = dot(valid_ref[0:4, :], place_ref[:, :])
+    dot3 = functools.partial(_dot3, mm=mm, dtype=dtype)
 
-    # ---- `pre`: per-step attenuations a_t (down lanes e^{Δτ_t/µ}, up
-    # lanes e^{-Δτ_{t+1}/µ}, 0 at the µ=0⁺ lane so the up recurrence pins
+    # ---- pre: per-step attenuations (down: e^{2·hdt_dn/µ}; up:
+    # e^{-2·hdt_up/µ}, 0 at the µ=0⁺ row so the up recurrence pins
     # I(µ=0)=Jₙ); field/I_tot init from I₁ ----
     def pre(g, _):
-        sl = pl.ds(g * G, G)
-        pk = pack_ref[sl].reshape(GC, PK_W)
-        hdt = jnp.where(is_dn_c, pk[:, PK_HDT_DN:PK_HDT_DN + 1],
-                        pk[:, PK_HDT_UP:PK_HDT_UP + 1])
-        a = jnp.exp(2.0 * hdt * e_mu)
-        att_ref[sl] = jnp.where(lane_m_c, 0.0, a).reshape(G, C, m2)
-        i1g = i1_ref[sl]
-        itot_ref[sl] = i1g
-        field_ref[sl] = i1g
+        hdn = pack_ref[g, PK_HDT_DN:PK_HDT_DN + 1, :]       # (1, GC)
+        hup = pack_ref[g, PK_HDT_UP:PK_HDT_UP + 1, :]
+        attdn_ref[g] = jnp.exp(2.0 * hdn * emu_dn)
+        aup = jnp.exp(2.0 * hup * emu_up)
+        attup_ref[g] = jnp.where(rowf_g < 0.5, 0.0, aup)
+        i1d = i1dn_ref[g]
+        i1u = i1up_ref[g]
+        fdn_ref[g] = i1d
+        fup_ref[g] = i1u
+        itotdn_ref[g] = i1d
+        itotup_ref[g] = i1u
         return 0
 
     jax.lax.fori_loop(0, NG, pre, 0)
 
-    one = jnp.ones((C, m2), dtype)
-    neg = jnp.full((C, 1), -jnp.inf, dtype)
-
     def ratio_rows(new_top, tot_top, new_bot, tot_bot):
-        r_toa = jnp.max(jnp.where(is_up, new_top / tot_top, neg), axis=1,
-                        keepdims=True)
-        r_srf = jnp.max(jnp.where(is_dn, new_bot / tot_bot, neg), axis=1,
-                        keepdims=True)
-        return jnp.maximum(r_toa, r_srf)
+        # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1
+        r_toa = jnp.max(new_top / tot_top, axis=0, keepdims=True)
+        r_srf = jnp.max(new_bot / tot_bot, axis=0, keepdims=True)
+        return jnp.maximum(r_toa, r_srf)                     # (1, C)
 
-    ratio0 = ratio_rows(one, itot_ref[0], one, itot_ref[L - 1])
-    n0 = jnp.ones((C, 1), dtype)
+    one = jnp.ones((M, C), dtype)
+    ratio0 = ratio_rows(one, itotup_ref[0, :, 0:C],
+                        one, itotdn_ref[NG - 1, :, GC - C:GC])
+    n0 = jnp.ones((1, C), dtype)
 
     def cond(carry):
         ratio, n = carry
@@ -223,260 +216,299 @@ def _mega_kernel(pack_ref, cpar_ref, rowc_ref, acat_ref, bcmat_ref,
 
     def body(carry):
         ratio, n = carry
-        active = (ratio >= tol).astype(dtype)             # (C, 1)
+        active = (ratio >= tol).astype(dtype)                # (1, C)
+        # chunk arrays carry G·C lanes (lane = k·C + c) — tile per layer
+        active_g = jnp.concatenate([active] * G, axis=1)     # (1, GC)
 
-        # ---- pass A (forward): Jₙ = cab·(Iₙ₋₁ @ A_atm) + crb·(Iₙ₋₁ @
-        # A_aer) as one stacked dot, then the downward recurrence.  The
-        # raw recurrence s_t = a_t(s_{t-1} + w_t j_{t-1}) + w_t j_t
-        # (w_t = hdt_dn[t]) is substituted r_t = s_t + hdt_up[t]·j_t
-        # (hdt_up[t] = hdt_dn[t+1]) giving r_t = a_t r_{t-1} + cdn_t·j_t
-        # with a layer-LOCAL source — one FMA per layer, carry in
-        # registers, unrolled across the chunk ----
+        # ---- pass A (forward): Jₙ for the chunk as one stacked dot,
+        # then the downward recurrence r_t = a_t r_{t-1} + cdn_t·jₙ_t
+        # (the telescoped substitution r_t = s_t + hdt_up_t·jₙ_t — see
+        # ops/sweeps.py); s_t is written back out as sdn = r - hdt_up·jₙ
+        # so pass B never needs jₙ_dn ----
         def passA(g, r):
-            sl = pl.ds(g * G, G)
-            pk3 = pack_ref[sl]                            # (G, C, PK_W)
-            fv = field_ref[sl].reshape(GC, m2)
+            pk = pack_ref[g]                                 # (PK_W, GC)
+            fd = fdn_ref[g]
+            fu = fup_ref[g]
             if "nosrc" in ab:
-                jn3 = (fv + 1.0).reshape(G, C, m2)
+                jnd, jnu = fd + 1.0, fu + 1.0
             else:
-                pk = pk3.reshape(GC, PK_W)
-                out = dot(fv, acat_ref[:, :])             # (GC, 4M)
-                jn3 = (pk[:, PK_COEF_ATM:PK_COEF_ATM + 1] * out[:, :m2]
-                       + pk[:, PK_COEF_AER:PK_COEF_AER + 1] * out[:, m2:]
-                       ).reshape(G, C, m2)
-            jn_ref[sl] = jn3
-            src3 = pk3[:, :, PK_CDN:PK_CDN + 1] * jn3     # (G, C, 2M)
+                i_full = jnp.concatenate([fd, fu], axis=0)   # (2M, GC)
+                out = dot3(ws_hi, ws_lo, i_full)             # (4M, GC)
+                ca = pk[PK_COEF_ATM:PK_COEF_ATM + 1, :]
+                cr = pk[PK_COEF_AER:PK_COEF_AER + 1, :]
+                jnd = ca * out[:M] + cr * out[2 * M:3 * M]
+                jnu = ca * out[M:2 * M] + cr * out[3 * M:]
+            jnup_ref[g] = jnu
+            src = pk[PK_CDN:PK_CDN + 1, :] * jnd
+            hup = pk[PK_HDT_UP:PK_HDT_UP + 1, :]
+            corr = src - hup * jnd                           # sdn source part
             if "noloops" in ab:
-                rdn_ref[sl] = src3
+                sdn_ref[g] = corr
                 return r
-            att3 = att_ref[sl]
-            rs = []
+            att = attdn_ref[g]
             for k in range(G):
-                r = att3[k] * r + src3[k]
-                rs.append(r)
-            rdn_ref[sl] = jnp.stack(rs, axis=0)
+                sl = slice(k * C, (k + 1) * C)
+                r = att[:, sl] * r + src[:, sl]
+                sdn_ref[g, :, sl] = r - hup[:, sl] * jnd[:, sl]
             return r
 
         if "nopassA" not in ab:
-            jax.lax.fori_loop(0, NG, passA, jnp.zeros((C, m2), dtype))
+            jax.lax.fori_loop(0, NG, passA, jnp.zeros((M, C), dtype))
 
-        # ---- pass B (reverse): extract I↓ + narrow fixes (µ=0⁻ zero,
-        # polyfit band via static-stencil matmuls), surface BC on the
-        # first (deepest) chunk, upward recurrence r_t = a_t r_{t+1} +
-        # cup_t·ivup·j_t (the µ=0⁺ lane rides along with a=0, cup=1,
-        # src=jₙ, pinning I(µ=0)=Jₙ exactly), region-join corrections via
+        # ---- pass B (reverse): extract I↓ + µ→0⁻ fixes (zero row,
+        # polyfit band via left stencil matmuls), surface BC on the
+        # deepest layer, upward recurrence with the µ=0⁺ row riding
+        # along (att=0, src=jₙ — pins I(µ=0)=Jₙ), join corrections via
         # the running carries q1/q2, smoothing, accumulation ----
         def passB(grev, carry):
             r, q1, q2 = carry
             g = NG - 1 - grev
-            sl = pl.ds(g * G, G)
-            pk3 = pack_ref[sl]
-            jn3 = jn_ref[sl]
-            att3 = att_ref[sl]
-            jnf = jn3.reshape(GC, m2)
-            s_dn = (rdn_ref[sl].reshape(GC, m2)
-                    - pk3[:, :, PK_HDT_UP:PK_HDT_UP + 1].reshape(GC, 1) * jnf)
-            fv = jnp.where(is_dn_c, -s_dn * ivdn, 0.0)
-            fv = jnp.where(lanes_c == m - 1, 0.0, fv)
+            pk = pack_ref[g]
+            jnu3 = jnup_ref[g]
+            attu3 = attup_ref[g]
+
+            fv = -sdn_ref[g] * ivdn                          # (M, GC)
+            fv = jnp.where(lastrow_g, 0.0, fv)
             if "nopoly" not in ab:
-                pk = pk3.reshape(GC, PK_W)
-                polys = dot(fv, wall_ref[:, :])
-                choice = pk[:, PK_CHOICE:PK_CHOICE + 1]
-                band = polys[:, 0:SLOT]
-                vsel = pvt[0][None, :]
+                polys = dot3(wall_hi, wall_lo, fv)           # (4·SLOT, GC)
+                choice = pk[PK_CHOICE:PK_CHOICE + 1, :]      # (1, GC)
+                band = polys[0:SLOT]
+                vsel = pvt_ref[0, :][:, None] * jnp.ones((1, GC), dtype)
                 for c in range(1, 4):
                     sel = choice == c
-                    band = jnp.where(sel, polys[:, c * SLOT:(c + 1) * SLOT],
+                    band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT],
                                      band)
-                    vsel = jnp.where(sel, pvt[c][None, :], vsel)
-                placed = dot(band, place_ref[:, :])
+                    vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
+                placed = dot3(place_hi, place_lo, band)      # (M, GC)
                 fv = jnp.where(vsel > 0.5, placed, fv)
-            fv3 = fv.reshape(G, C, m2)
 
             # surface BC from the deepest layer's I↓ (first chunk only)
+            last = slice(GC - C, GC)
             if "nobc" in ab:
-                i_surf = jn3[G - 1]
+                i_surf = jnu3[:, last]
             else:
-                bc = grd * dot(jnp.where(is_dn, fv3[G - 1], 0.0),
-                               bcmat_ref[:, :])
-                i_surf = jnp.where(lane_m, jn3[G - 1], bc)
+                bc = grd * dot3(bc_hi, bc_lo, fv[:, last])
+                i_surf = jnp.where(row0_c, jnu3[:, last], bc)
             first = grev == 0
             r = jnp.where(first, i_surf, r)
 
-            # up-sweep sources, chunk-wide
-            cup3 = pk3[:, :, PK_CUP:PK_CUP + 1] * ivup[None]
-            cup3 = jnp.where(lane_m_c.reshape(G, C, m2), 1.0, cup3)
-            src3 = cup3 * jn3
-            gsv3 = (pk3[:, :, PK_GS:PK_GS + 1] * ivup[None]) * jn3
-            r1m = pk3[:, :, PK_R1:PK_R1 + 1] > 0.5        # (G, C, 1)
-            r2m = pk3[:, :, PK_R2:PK_R2 + 1] > 0.5
+            # up-sweep source pieces, chunk-wide
+            jiv = ivup * jnu3                                # (M, GC)
+            src3 = pk[PK_CUP:PK_CUP + 1, :] * jiv
+            src3 = jnp.where(rowf_g < 0.5, jnu3, src3)       # µ=0⁺ pin
+            gsv3 = pk[PK_GS:PK_GS + 1, :] * jiv
+            r1row = pk[PK_R1:PK_R1 + 1, :]                   # (1, GC)
+            r2row = pk[PK_R2:PK_R2 + 1, :]
 
-            out_rows = []
-            it3 = itot_ref[sl]
+            rows = []
             for k in range(G - 1, -1, -1):
+                sl = slice(k * C, (k + 1) * C)
                 if "noloops" in ab:
-                    r_new = src3[k]
+                    r_new = src3[:, sl]
                 else:
-                    r_new = att3[k] * r + src3[k]
+                    r_new = attu3[:, sl] * r + src3[:, sl]
                 r = r_new
-                s_up = r_new - gsv3[k]
-                f = jnp.where(is_up, s_up, fv3[k])
-                q1 = q1 * att3[k]
-                q2 = q2 * att3[k]
+                f = r_new - gsv3[:, sl]
                 if "nofin" in ab:
                     sm = f
                 else:
-                    f = f + corr_mask * (q1 + q2)
+                    q1 = q1 * attu3[:, sl]
+                    q2 = q2 * attu3[:, sl]
+                    f = f + corr_c * (q1 + q2)
                     if "nosmooth" in ab:
                         sm = f
                     else:
-                        sm = _smooth_tile(f, m, m2, lanef)
+                        sm = _smooth_up(f, rowf_c, nb_angles)
                     d = sm - f
-                    q1 = jnp.where(r1m[k], d, q1)
-                    q2 = jnp.where(r2m[k], d, q2)
-                out_rows.append(sm)
-            new3 = jnp.stack(out_rows[::-1], axis=0)
-            field_ref[sl] = new3
-            itot_ref[sl] = it3 + active[None] * new3
+                    q1 = jnp.where(r1row[:, sl] > 0.5, d, q1)
+                    q2 = jnp.where(r2row[:, sl] > 0.5, d, q2)
+                rows.append(sm)
+            new_u = jnp.concatenate(rows[::-1], axis=1)
+            fdn_ref[g] = fv
+            fup_ref[g] = new_u
+            itotdn_ref[g] = itotdn_ref[g] + active_g * fv
+            itotup_ref[g] = itotup_ref[g] + active_g * new_u
             return r, q1, q2
 
-        z = jnp.zeros((C, m2), dtype)
+        z = jnp.zeros((M, C), dtype)
         if "nopassB" not in ab:
             jax.lax.fori_loop(0, NG, passB, (z, z, z))
 
         if "noratio" in ab:
             rnew = ratio
         else:
-            rnew = ratio_rows(field_ref[0], itot_ref[0],
-                              field_ref[L - 1], itot_ref[L - 1])
+            rnew = ratio_rows(fup_ref[0, :, 0:C], itotup_ref[0, :, 0:C],
+                              fdn_ref[NG - 1, :, GC - C:GC],
+                              itotdn_ref[NG - 1, :, GC - C:GC])
         ratio = jnp.where(active > 0.5, rnew, ratio)
         n = n + (1.0 if "noconv" in ab else active)
         return ratio, n
 
     ratio, n = jax.lax.while_loop(cond, body, (ratio0, n0))
 
-    st = jnp.zeros((C, ST_W), dtype)
-    st_lanes = jax.lax.broadcasted_iota(jnp.int32, (C, ST_W), 1)
-    st = jnp.where(st_lanes == ST_N, n, st)
-    st = jnp.where(st_lanes == ST_CONV, (ratio < tol).astype(dtype), st)
-    st = jnp.where(st_lanes == ST_RATIO, ratio, st)
+    st = jnp.zeros((ST_H, C), dtype)
+    st_rows = jax.lax.broadcasted_iota(jnp.int32, (ST_H, C), 0)
+    st = jnp.where(st_rows == ST_N, n, st)
+    st = jnp.where(st_rows == ST_CONV, (ratio < tol).astype(dtype), st)
+    st = jnp.where(st_rows == ST_RATIO, ratio, st)
     stats_ref[:, :] = st
 
 
 def mega_supported(grid, stencils: SweepStencils) -> bool:
-    """Static eligibility: no small-µ columns, band fits the slots, and
-    the up-µ grid is uniform (the in-kernel smoothing walk evaluates its
-    blend weight µ_k/µ_idx closed-form as (k-M)/(idx-M))."""
+    """Static eligibility: no small-µ columns, band fits the slots, the
+    up-µ grid is uniform (the in-kernel smoothing walk evaluates its
+    blend weight µ_k/µ_idx closed-form as k/idx), and the angle count
+    tiles sublanes (M % 8 == 0 for the angle-major layout)."""
     mu_up = np.asarray(grid.mu(), np.float64)[grid.nb_angles:]
     d = np.diff(mu_up)
     uniform = bool(np.allclose(d, d[0], rtol=1e-12, atol=1e-15))
     return (stencils.small_cols.size == 0 and stencils.band_max <= SLOT
-            and uniform)
+            and uniform and grid.nb_angles % 8 == 0)
+
+
+def _split_bf16(a):
+    a = jnp.asarray(a, jnp.float32)
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def build_static_operators(grid, stencils: SweepStencils, surface: str,
-                           w_mu: np.ndarray, dtype):
-    """Host-built constant matrices for the kernel (numpy, per grid)."""
+                           w_mu: np.ndarray, dtype, mm: str):
+    """Host-built constant matrices for the kernel (angle-major forms).
+
+    Returns a dict of arrays; with mm='bf16x3' each matmul operator is
+    pre-split into exact bf16 (hi, lo) parts; with mm='highest' hi is
+    the f32 operator and lo an (ignored) zero array.
+    """
     m = grid.nb_angles
     m2 = 2 * m
     mu = np.asarray(grid.mu(), np.float64)
 
-    # polyfit select (2M, 4·SLOT) and place (SLOT, 2M) matrices
-    wall = np.zeros((m2, 4 * SLOT))
-    valid = np.zeros((8, SLOT))
+    # polyfit stencil, applied from the left on the down half:
+    # polys = wall_T (4·SLOT, M) @ fv_dn;  placed = place_T (M, SLOT) @ band
+    wall_t = np.zeros((4 * SLOT, m))
+    valid = np.zeros((4, SLOT))
     for c in range(4):
         b = stencils.bands[c]
         src = stencils.poly_src[c]
         w = stencils.poly_w[c]                       # (band_max, 6)
         for i in range(b):
             for j in range(6):
-                wall[src[j], c * SLOT + i] += w[i, j] if j < 6 else 0.0
+                wall_t[c * SLOT + i, src[j]] += w[i, j]
         valid[c, :stencils.band_max] = stencils.poly_mask[c].astype(float)
-    place = np.zeros((SLOT, m2))
+    place_t = np.zeros((m, SLOT))
     for i in range(min(SLOT, m)):
-        place[i, m - 1 - i] = 1.0
+        place_t[m - 1 - i, i] = 1.0
+    # pvt[c] = placed-row validity (M,) per band choice
+    pvt = (valid @ place_t.T)                        # (4, M)
 
-    # surface BC matrix: bc = grd · (surf_dn @ bcmat)
-    bcmat = np.zeros((m2, m2))
+    # surface BC: bc_up = grd · (bcmat (M, M) @ fv_dn (M, C))
+    bcmat = np.zeros((m, m))
     if surface == "lambertian":
-        for k in range(m):
-            bcmat[k, m:] = -2.0 * w_mu[k] * mu[k]
-    else:  # specular mirror: up lane m+k ← down lane m-1-k
-        for k in range(1, m):
-            bcmat[m - 1 - k, m + k] = 1.0
+        # every up row gets -2·Σ_k w_k µ_k fv[k]
+        bcmat[:, :] = (-2.0 * w_mu[:m] * mu[:m])[None, :]
+    else:  # specular mirror: up row j ← down row m-1-j (j ≥ 1)
+        for j in range(1, m):
+            bcmat[j, m - 1 - j] = 1.0
 
-    # per-lane rows
+    # per-angle columns (lane-replicated (RC_H, M, 128))
     mu_dn_safe = np.where(mu[:m] == 0, -1.0, mu[:m])
     mu_up = mu[m:].copy()
     mu_up_safe = np.where(mu_up == 0, 1.0, mu_up)
-    rowc = np.zeros((RC_H, m2))
-    rowc[RC_EMU, :m] = 1.0 / mu_dn_safe
-    rowc[RC_EMU, m:] = -1.0 / mu_up_safe
-    rowc[RC_IVDN, :m] = 1.0 / mu_dn_safe
-    rowc[RC_IVUP, m:] = 1.0 / mu_up_safe
-    # µ=0⁺ lane: ivup=0 so the up-sweep substitution r = s + gs·ivup·j is
-    # the identity there and I(µ=0)=Jₙ rides through exactly
-    rowc[RC_IVUP, m] = 0.0
-    rowc[RC_MU, :] = mu
-    rowc[RC_MU, m] = 0.0
+    colc = np.zeros((RC_H, m, 128))
+    colc[RC_EMU_DN] = (1.0 / mu_dn_safe)[:, None]
+    colc[RC_EMU_UP] = (-1.0 / mu_up_safe)[:, None]
+    colc[RC_IVDN] = (1.0 / mu_dn_safe)[:, None]
+    ivup = 1.0 / mu_up_safe
+    ivup[0] = 0.0     # µ=0⁺ row: gs·ivup ≡ 0 → I(µ=0)=Jₙ rides exactly
+    colc[RC_IVUP] = ivup[:, None]
 
-    f = lambda x: jnp.asarray(x, dtype)
-    return f(wall), f(valid), f(place), f(bcmat), f(rowc)
+    if mm == "bf16x3":
+        split = _split_bf16
+    else:
+        split = lambda a: (jnp.asarray(a, dtype),
+                           jnp.zeros((1, 1), dtype))
+    ops = {}
+    ops["wall"] = split(wall_t)
+    ops["place"] = split(place_t)
+    ops["bcmat"] = split(bcmat)
+    ops["pvt"] = jnp.asarray(pvt, dtype)
+    ops["colc"] = jnp.asarray(colc, dtype)
+    return ops
 
 
-def mega_call(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t,
+def stack_source_operator(a_atm, a_aer, nb_angles: int, mm: str, dtype):
+    """Build the (4M, 2M) stacked Jₙ operator W from the two species'
+    source operators A_s (2M, 2M) with  jₙ = Iₙ₋₁ @ A_s  row-major; the
+    angle-major kernel computes  W @ I_full  with output rows
+    [atm_dn; atm_up; aer_dn; aer_up]."""
+    m = nb_angles
+    wt_atm = jnp.transpose(a_atm)                    # (2M, 2M): J = W·I
+    wt_aer = jnp.transpose(a_aer)
+    w = jnp.concatenate([wt_atm, wt_aer], axis=0)    # (4M, 2M)
+    if mm == "bf16x3":
+        return _split_bf16(w)
+    return jnp.asarray(w, dtype), jnp.zeros((1, 1), dtype)
+
+
+def mega_call(pack, cpar, ops, ws, i1dn, i1up,
               *, nb_angles: int, tol: float, max_orders: int,
-              cols_per_block: int, interpret: bool = False,
+              cols_per_block: int, mm: str, interpret: bool = False,
               ablate: str = ""):
     """Run the whole-solve kernel.
 
-    pack: (L, B, PK_W); cpar: (B, CP_W); acat: the horizontally stacked
-    (2M, 4M) source operator [A_atm | A_aer]; i1t: (L, B, 2M).
-    Returns (itot (L, B, 2M), stats (B, ST_W)).
+    pack: (NG, PK_W, G·B) per-(layer, column) scalars; cpar: (CP_W, B);
+    ws: (hi, lo) stacked source operator; i1dn/i1up: (NG, M, G·B)
+    angle-major half first-order fields.
+    Returns (itot_dn, itot_up (NG, M, G·B), stats (ST_H, B)).
     """
-    L, B, m2 = i1t.shape
+    NG, M, GB = i1dn.shape
     C = cols_per_block
+    B = cpar.shape[1]
+    G = GB // B
     assert B % C == 0, (B, C)
     nblk = B // C
-    dtype = i1t.dtype
+    GC = G * C
+    dtype = i1dn.dtype
     kern = functools.partial(_mega_kernel, nb_angles=nb_angles, tol=tol,
-                             max_orders=max_orders, ablate=ablate)
+                             max_orders=max_orders, mm=mm, ablate=ablate)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+    blk3 = lambda r: pl.BlockSpec((NG, r, GC), lambda i: (0, 0, i),
+                                  memory_space=pltpu.VMEM)
+    ws_hi, ws_lo = ws
     grid_spec = pl.GridSpec(
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((L, C, PK_W), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, CP_W), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RC_H, m2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, 2 * m2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m2, 4 * SLOT), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SLOT, m2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, SLOT), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, C, m2), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            blk3(PK_W),                                     # pack
+            pl.BlockSpec((CP_W, C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),          # cpar
+            rep(ops["colc"].shape),                          # colc
+            rep(ws_hi.shape), rep(ws_lo.shape),
+            rep(ops["wall"][0].shape), rep(ops["wall"][1].shape),
+            rep(ops["place"][0].shape), rep(ops["place"][1].shape),
+            rep(ops["bcmat"][0].shape), rep(ops["bcmat"][1].shape),
+            rep(ops["pvt"].shape),
+            blk3(M), blk3(M),                               # i1 halves
         ],
         out_specs=[
-            pl.BlockSpec((L, C, m2), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, ST_W), lambda i: (i, 0),
+            blk3(M), blk3(M),
+            pl.BlockSpec((ST_H, C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((L, C, m2), dtype) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((NG, M, GC), dtype) for _ in range(6)],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((L, B, m2), dtype),
-                   jax.ShapeDtypeStruct((B, ST_W), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((NG, M, GB), dtype),
+                   jax.ShapeDtypeStruct((NG, M, GB), dtype),
+                   jax.ShapeDtypeStruct((ST_H, B), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(pack, cpar, rowc, acat, bcmat, wall, place, valid, i1t)
+    )(pack, cpar, ops["colc"], ws_hi, ws_lo,
+      ops["wall"][0], ops["wall"][1], ops["place"][0], ops["place"][1],
+      ops["bcmat"][0], ops["bcmat"][1], ops["pvt"], i1dn, i1up)

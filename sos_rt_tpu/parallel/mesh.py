@@ -98,7 +98,8 @@ def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _mega_solver(grid: GridSpec, opts: SolverOptions, cols_per_block: int):
+def _mega_solver(grid: GridSpec, opts: SolverOptions,
+                 cols_per_block: Optional[int] = None):
     """Cached jitted whole-solve mega-kernel solver (ops/megakernel.py)."""
     from sos_rt_tpu.fused import solve_batch_mega
 
@@ -139,7 +140,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if mesh is not None:
             fn = None
         elif engine == "mega":
-            fn = _mega_solver(grid, opts, block_b)
+            fn = _mega_solver(grid, opts)
         elif engine == "fused":
             fn = _fused_solver(grid, opts, block_b)
         else:
@@ -166,7 +167,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     if mesh is None:
         if engine == "mega":
-            return _mega_solver(grid, opts, block_b)(scenes, tables)
+            return _mega_solver(grid, opts)(scenes, tables)
         if engine == "fused":
             return _fused_solver(grid, opts, block_b)(scenes, tables)
         return _batched_solver(grid, opts,

@@ -36,7 +36,7 @@ def _scenes(batch):
 
 @pytest.mark.parametrize("surface", ["lambertian", "specular"])
 def test_mega_matches_reference(surface):
-    grid = GridSpec(nb_angles=51, nb_layers=64)
+    grid = GridSpec(nb_angles=56, nb_layers=64)
     tables = _tables(grid)
     opts = SolverOptions(surface=surface, dtype="float64")
     scenes = _scenes(4)
@@ -54,7 +54,7 @@ def test_mega_matches_reference(surface):
 
 def test_mega_pads_ragged_batch():
     """B not divisible by cols_per_block exercises the pad/trim path."""
-    grid = GridSpec(nb_angles=51, nb_layers=64)
+    grid = GridSpec(nb_angles=56, nb_layers=64)
     tables = _tables(grid)
     opts = SolverOptions(surface="lambertian", dtype="float64")
     scenes = _scenes(3)
