@@ -1,13 +1,18 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.md): column-solves/s/chip at 100 ppm convergence on a
-BASELINE config-5-style sweep — a batched sweep over (ground albedo,
+Headline (BASELINE.md): column-solves/s/chip at 100 ppm convergence on
+the BASELINE config-5 sweep — a batched sweep over (µ0, ground albedo,
 τ*_aer, ω_aer) with the FWC tabulated cloud phase function on a
 production sweep grid (nb_angles=64 → 128 µ points, nb_layers=128),
 f32, one chip.  Target: ≥ 1e5 column-solves/s/chip (vs_baseline = value/1e5).
 
+The sweep runs the mega engine with ``outputs='summary'``: every column
+is solved to 100 ppm on-chip; only the TOA/surface rows and stats leave
+the device (what config-5 consumers — forcing/critical-albedo sweeps —
+read; full fields via outputs='full').
+
 Secondary metrics (stderr): canonical-grid (501 angles × 800 layers)
-single-column solve latency and batched canonical throughput.
+single-column solve latency.
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
 from sos_rt_tpu.ops.sweeps import build_stencils
@@ -25,42 +31,54 @@ from sos_rt_tpu.parallel import broadcast_scene
 from sos_rt_tpu.solver import PhaseTables, solve_column
 
 TARGET = 1e5
+N_MU0 = 64          # distinct solar angles in the µ0 sweep axis
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_batch(batch: int) -> Scene:
+def make_batch(batch: int, grid: GridSpec):
+    """Config-5 sweep: (µ0, grd_alb, τ*_aer, ω_aer) randomized per column.
+
+    µ0 draws from N_MU0 distinct values; only P0(µ, µ0) depends on µ0
+    (built once per distinct value, gathered per column)."""
     base = broadcast_scene(Scene(), batch)
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
-    return dataclasses.replace(
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mu0_pool = np.linspace(0.2, 0.95, N_MU0)
+    mu0_idx = jax.random.randint(k4, (batch,), 0, N_MU0)
+    scenes = dataclasses.replace(
         base,
+        mu0=jnp.asarray(mu0_pool, jnp.float32)[mu0_idx],
         grd_alb=jax.random.uniform(k1, (batch,), minval=0.0, maxval=0.9),
         tau_star_aer=jax.random.uniform(k2, (batch,), minval=0.01, maxval=0.4),
         alb_aer=jax.random.uniform(k3, (batch,), minval=0.7, maxval=1.0),
     )
+    tables = PhaseTables.from_models_batched_mu0(
+        grid, mu0_pool, atm=("rayleigh", {}), aer=("fwc", {}),
+        dtype=jnp.float32)
+    tables = dataclasses.replace(tables,
+                                 p0_atm=tables.p0_atm[mu0_idx],
+                                 p0_aer=tables.p0_aer[mu0_idx])
+    return scenes, tables
 
 
-def bench_sweep(batch=16384, reps=4, buckets=1, engine="mega", block_b=64):
+def bench_sweep(batch=32768, reps=4, buckets=1, engine="mega", block_b=64):
     from sos_rt_tpu.parallel import solve_batch
 
     grid = GridSpec(nb_angles=64, nb_layers=128)
     opts = SolverOptions(surface="lambertian", dtype="float32",
                          max_orders=100, scan_impl="sequential")
-    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
-                                     aer=("fwc", {}), dtype=jnp.float32)
-    scenes = make_batch(batch)
+    scenes, tables = make_batch(batch, grid)
+    outputs = "summary" if engine == "mega" else "full"
 
     def run(i):
         sc = dataclasses.replace(scenes, grd_alb=scenes.grd_alb + i * 1e-7)
         sol = solve_batch(sc, tables, grid, opts, buckets=buckets,
-                          engine=engine, block_b=block_b)
-        # force full completion through the async dispatch queue; drop the
-        # (B, L, 2M) fields before returning — at B=16k a held Solution is
-        # ~2 GB of HBM and two live ones exhaust a v5e chip
-        chk = float(jnp.sum(sol.i_total[:, 0, :]))
+                          engine=engine, block_b=block_b, outputs=outputs)
+        i_toa = sol.i_toa if outputs == "summary" else sol.i_total[:, 0, :]
+        chk = float(jnp.sum(i_toa))     # forces the whole dispatch queue
         stats = (int(jnp.max(sol.n_orders)),
                  float(jnp.mean(sol.n_orders.astype(jnp.float32))),
                  int(jnp.sum(sol.converged)))
@@ -106,7 +124,7 @@ def bench_canonical():
 
 def _emit(rate: float):
     print(json.dumps({
-        "metric": "column-solves/s/chip (config-5 sweep grid 128x128, 100ppm, f32)",
+        "metric": "column-solves/s/chip (config-5 sweep mu0+alb+tau, grid 128x128, 100ppm, f32)",
         "value": round(rate, 1),
         "unit": "columns/s",
         "vs_baseline": round(rate / TARGET, 4),
@@ -121,7 +139,7 @@ def main():
     import subprocess
 
     here = __file__
-    for batch in (8192, 4096, 2048):
+    for batch in (32768, 16384, 8192):
         r = subprocess.run([sys.executable, here, "--sweep", str(batch)],
                            capture_output=True, text=True, timeout=1200)
         sys.stderr.write(r.stderr)

@@ -95,8 +95,55 @@ def cmd_run(args):
         diffusivity=np.asarray(dif), heating_rate=np.asarray(hr),
         n_orders=int(sol.n_orders))
     print(f"[sos] wrote {out}", file=sys.stderr)
+    if args.save_orders:
+        _save_orders(scene, tables, grid, opts, out, z)
     if args.plot:
         _plot(out)
+
+
+def _save_orders(scene, tables, grid, opts, out, z):
+    """Per-order artifacts: Iₙ fields + per-order diffusivity + plot.
+
+    The reference's ``graphe_successive_dif`` (SOS_Aer_graphe.py:118-149)
+    plots µ̄(z) for each scattering order from the driver's ``I_saved``
+    list (SOS_Aer_main_lambertian.py:460).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sos_rt_tpu import outputs
+    from sos_rt_tpu.solver import solve_column_orders
+
+    _, buf, valid = jax.jit(solve_column_orders, static_argnums=(2, 3))(
+        scene, tables, grid, opts)
+    n = int(np.sum(np.asarray(valid)))
+    i_orders = np.asarray(buf)[:n]
+    mu = jnp.asarray(grid.mu(), buf.dtype)
+    w = jnp.asarray(grid.trapz_weights(), buf.dtype)
+    dif_orders = np.asarray(outputs.per_order_diffusivity(
+        jnp.asarray(i_orders), mu, w))
+    path = out.replace(".npz", "_orders.npz")
+    np.savez_compressed(path, I_orders=i_orders,
+                        diffusivity_orders=dif_orders, z=np.asarray(z))
+    print(f"[sos] wrote {path} ({n} orders)", file=sys.stderr)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for k in range(n):
+        ax.plot(dif_orders[k], np.asarray(z), label=f"order {k + 1}",
+                alpha=0.8)
+    ax.set_xlabel(r"per-order diffusivity $\bar{\mu}$")
+    ax.set_ylabel("Altitude (km)")
+    ax.grid(True)
+    if n <= 12:
+        ax.legend(fontsize=7)
+    png = path.replace(".npz", ".png")
+    fig.tight_layout(), fig.savefig(png, dpi=150)
+    print(f"[sos] wrote {png}", file=sys.stderr)
 
 
 def _plot(path):
@@ -122,28 +169,55 @@ def _plot(path):
 
 
 def cmd_critical_albedo(args):
+    """Haywood critical-albedo curve over a τ*_aer list.
+
+    The reference sweeps τ*_aer serially, two full SOS solves per
+    bisection step per τ (SOS_Aer_critical_albedo.py:485-503).  Here
+    every τ value is one lane of a batched scene: the whole sweep
+    compiles once and each bisection step solves all τ lanes together.
+    """
     import jax
+    import jax.numpy as jnp
 
     from sos_rt_tpu.forcing import critical_albedo
+    from sos_rt_tpu.parallel import broadcast_scene
     from sos_rt_tpu.presets import get_preset
 
     p = get_preset(args.preset)
     if p.opts.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     tables = _build(p, p.opts.dtype)
-    taus = [float(x) for x in args.tau_aer.split(",")]
-    results = {}
-    for t in taus:
-        scene = dataclasses.replace(p.scene, tau_star_aer=t)
-        alb = critical_albedo(scene, tables, p.grid, p.opts)
-        results[t] = float(np.asarray(alb))
-        print(f"[sos] tau*_aer={t}: critical albedo = {results[t]:.4f}",
+    taus = np.array([float(x) for x in args.tau_aer.split(",")])
+    t0 = time.perf_counter()
+    scenes = dataclasses.replace(broadcast_scene(p.scene, len(taus)),
+                                 tau_star_aer=jnp.asarray(taus))
+    albs = np.asarray(critical_albedo(scenes, tables, p.grid, p.opts))
+    dt = time.perf_counter() - t0
+    results = {float(t): float(a) for t, a in zip(taus, albs)}
+    for t, a in results.items():
+        print(f"[sos] tau*_aer={t}: critical albedo = {a:.4f}",
               file=sys.stderr)
+    print(f"[sos] {len(taus)}-point curve in {dt:.2f}s (one compile, "
+          f"batched bisection)", file=sys.stderr)
     out = args.output or "critical_albedo.json"
     with open(out, "w") as f:
         json.dump({"preset": args.preset, "critical_albedo": results}, f,
                   indent=2)
     print(f"[sos] wrote {out}", file=sys.stderr)
+    if args.plot and len(taus) > 1:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(taus, albs, "o-")
+        ax.set_xlabel(r"$\tau^*_{aer}$")
+        ax.set_ylabel(r"critical albedo $\omega_c$")
+        ax.grid(True)
+        png = out.rsplit(".", 1)[0] + ".png"
+        fig.tight_layout(), fig.savefig(png, dpi=150)
+        print(f"[sos] wrote {png}", file=sys.stderr)
 
 
 def cmd_sweep(args):
@@ -203,12 +277,16 @@ def main(argv=None):
         run.add_argument(f"--{f.replace('_', '-')}", type=float, dest=f)
     run.add_argument("--output", "-o")
     run.add_argument("--plot", action="store_true")
+    run.add_argument("--save-orders", action="store_true", dest="save_orders",
+                     help="also write per-order fields + per-order "
+                          "diffusivity (npz + png)")
     run.set_defaults(fn=cmd_run)
 
     ca = sub.add_parser("critical-albedo", help="Haywood critical albedo")
     ca.add_argument("--preset", default="eva")
     ca.add_argument("--tau-aer", default="0.120", dest="tau_aer",
-                    help="comma-separated τ*_aer values")
+                    help="comma-separated τ*_aer values (batched as lanes)")
+    ca.add_argument("--plot", action="store_true")
     ca.add_argument("--output", "-o")
     ca.set_defaults(fn=cmd_critical_albedo)
 

@@ -42,10 +42,32 @@ from sos_rt_tpu.ops.sweeps import (
 from sos_rt_tpu.solver import PhaseTables, Solution
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SweepSummary:
+    """Reduced sweep solution: only the physically-read-out rows.
+
+    For batched sweep workloads (BASELINE config 5, critical-albedo
+    forcing) every downstream reduction uses the TOA and surface angle
+    rows — TOA up-flux, surface down-flux, Haywood ΔF, critical albedo —
+    so the (B, L, 2M) field never needs to leave the chip (at 1e5
+    col/s that write-back alone is ~25 GB/s of HBM+host traffic).
+    """
+
+    i_toa: Any          # (B, 2M) total radiance row at τ=0
+    i_surface: Any      # (B, 2M) total radiance row at τ*
+    n_orders: Any       # (B,)
+    converged: Any      # (B,) bool
+    tau: Any            # (B, L)
+    idx_up: Any
+    idx_down: Any
+
+
 def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      opts: SolverOptions, cols_per_block: int | None = None,
                      interpret: bool | None = None, sort: bool = True,
-                     mm: str | None = None, ablate: str = ""):
+                     mm: str | None = None, ablate: str = "",
+                     outputs: str = "full"):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
@@ -64,11 +86,20 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     """
     from sos_rt_tpu.ops import megakernel as mk
 
+    if outputs not in ("full", "summary"):
+        raise ValueError(f"unknown outputs mode {outputs!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     stencils = build_stencils(grid.mu(), grid.nb_angles)
     if not mk.mega_supported(grid, stencils):
-        return solve_batch_fused(scenes, tables, grid, opts)
+        sol = solve_batch_fused(scenes, tables, grid, opts)
+        if outputs == "summary":
+            sol = SweepSummary(i_toa=sol.i_total[:, 0, :],
+                               i_surface=sol.i_total[:, -1, :],
+                               n_orders=sol.n_orders, converged=sol.converged,
+                               tau=sol.tau, idx_up=sol.idx_up,
+                               idx_down=sol.idx_down)
+        return sol
 
     if sort:
         from sos_rt_tpu.parallel.mesh import order_count_score
@@ -82,7 +113,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         sol = solve_batch_mega(scenes, tables, grid, opts,
                                cols_per_block=cols_per_block,
                                interpret=interpret, sort=False,
-                               mm=mm, ablate=ablate)
+                               mm=mm, ablate=ablate, outputs=outputs)
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
@@ -213,6 +244,18 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     i1dn = half_to_lanes(i1t[:, :, :M])
     i1up = half_to_lanes(i1t[:, :, M:])
+    if outputs == "summary":
+        toadn, toaup, srfdn, srfup, stats = mk.mega_call(
+            pack, cpar, ops, ws, i1dn, i1up,
+            nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
+            cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate,
+            summary=True)
+        return SweepSummary(
+            i_toa=jnp.concatenate([toadn.T, toaup.T], axis=1)[:B],
+            i_surface=jnp.concatenate([srfdn.T, srfup.T], axis=1)[:B],
+            n_orders=stats[mk.ST_N, :B].astype(jnp.int32),
+            converged=stats[mk.ST_CONV, :B] > 0.5,
+            tau=tau[:B], idx_up=idx_up[:B], idx_down=idx_down[:B])
     itd, itu, stats = mk.mega_call(
         pack, cpar, ops, ws, i1dn, i1up,
         nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),

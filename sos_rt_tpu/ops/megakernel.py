@@ -70,7 +70,15 @@ from jax.experimental.pallas import tpu as pltpu
 from sos_rt_tpu.config import MATMUL_PRECISION
 from sos_rt_tpu.ops.sweeps import SMOOTH_TOL, SweepStencils
 
-SLOT = 32          # padded polyfit band slots per variant (band_max ≤ 32)
+SLOT_CAP = 32      # hard cap on polyfit band slots (band_max ≤ 32)
+
+
+def slot_for(band_max: int) -> int:
+    """Sublane-padded polyfit band slots: the stencil operators are
+    (4·SLOT, M) and (M, SLOT), so SLOT tracks the grid's actual band
+    need (band_max = int(0.06·M), e.g. 3 for M=64, 30 for M=501)
+    instead of always paying the 32-slot worst case."""
+    return max(8, -(-band_max // 8) * 8)
 
 # pack sublane-row indices (per layer × column scalars, lanes = G·C)
 PK_TAU, PK_HDT_DN, PK_HDT_UP, PK_COEF_ATM, PK_COEF_AER, \
@@ -139,16 +147,14 @@ def _smooth_up(v, rowf, m: int):
     return jnp.where(do, blended, v)
 
 
-def _mega_kernel(pack_ref, cpar_ref, colc_ref,
-                 ws_hi, ws_lo, wall_hi, wall_lo, place_hi, place_lo,
-                 bc_hi, bc_lo, pvt_ref,
-                 i1dn_ref, i1up_ref,
-                 itotdn_ref, itotup_ref, stats_ref,
-                 attdn_ref, attup_ref, sdn_ref, jnup_ref,
-                 fdn_ref, fup_ref,
-                 *, nb_angles: int, tol: float, max_orders: int,
-                 mm: str, ablate: str = ""):
+def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
+                 mm: str, ablate: str = "", summary: bool = False):
     """Whole-solve kernel body (two chunked field passes per order).
+
+    ``summary``: the I_tot accumulators stay in VMEM scratch and only
+    the TOA/surface angle rows (+ stats) leave the kernel — for sweep
+    workloads the (NG, M, G·B) field write-back is the dominant HBM
+    traffic, and dropping it also frees the host-side reassembly.
 
     ``ablate``: comma-separated static flags that cut out kernel stages
     for performance attribution (tools/ablate_kernel.py) — results are
@@ -158,7 +164,19 @@ def _mega_kernel(pack_ref, cpar_ref, colc_ref,
     corrections+smoothing; nobc: skip the surface BC dot; nopassA /
     nopassB: skip whole passes; noratio: keep the first ratio.
     """
+    (pack_ref, cpar_ref, colc_ref,
+     ws_hi, ws_lo, wall_hi, wall_lo, place_hi, place_lo,
+     bc_hi, bc_lo, pvt_ref, i1dn_ref, i1up_ref) = refs[:14]
+    if summary:
+        (toadn_ref, toaup_ref, srfdn_ref, srfup_ref, stats_ref,
+         attdn_ref, attup_ref, sdn_ref, jnup_ref,
+         fdn_ref, fup_ref, itotdn_ref, itotup_ref) = refs[14:]
+    else:
+        (itotdn_ref, itotup_ref, stats_ref,
+         attdn_ref, attup_ref, sdn_ref, jnup_ref,
+         fdn_ref, fup_ref) = refs[14:]
     ab = frozenset(ablate.split(",")) if ablate else frozenset()
+    SLOT = wall_hi.shape[0] // 4      # polyfit band slots (see slot_for)
     NG, M, GC = fdn_ref.shape
     dtype = fdn_ref.dtype
     C = cpar_ref.shape[1]          # columns per block
@@ -282,15 +300,19 @@ def _mega_kernel(pack_ref, cpar_ref, colc_ref,
                 placed = dot3(place_hi, place_lo, band)      # (M, GC)
                 fv = jnp.where(vsel > 0.5, placed, fv)
 
-            # surface BC from the deepest layer's I↓ (first chunk only)
+            # surface BC from the deepest layer's I↓ (first chunk only;
+            # the dot runs under lax.cond so the other NG-1 chunk
+            # iterations skip the (M, M) matmul entirely)
             last = slice(GC - C, GC)
-            if "nobc" in ab:
-                i_surf = jnu3[:, last]
-            else:
-                bc = grd * dot3(bc_hi, bc_lo, fv[:, last])
-                i_surf = jnp.where(row0_c, jnu3[:, last], bc)
             first = grev == 0
-            r = jnp.where(first, i_surf, r)
+            if "nobc" in ab:
+                r = jnp.where(first, jnu3[:, last], r)
+            else:
+                r = jax.lax.cond(
+                    first,
+                    lambda: jnp.where(row0_c, jnu3[:, last],
+                                      grd * dot3(bc_hi, bc_lo, fv[:, last])),
+                    lambda: r)
 
             # up-sweep source pieces, chunk-wide
             jiv = ivup * jnu3                                # (M, GC)
@@ -346,6 +368,12 @@ def _mega_kernel(pack_ref, cpar_ref, colc_ref,
 
     ratio, n = jax.lax.while_loop(cond, body, (ratio0, n0))
 
+    if summary:
+        toadn_ref[:, :] = itotdn_ref[0, :, 0:C]
+        toaup_ref[:, :] = itotup_ref[0, :, 0:C]
+        srfdn_ref[:, :] = itotdn_ref[NG - 1, :, GC - C:GC]
+        srfup_ref[:, :] = itotup_ref[NG - 1, :, GC - C:GC]
+
     st = jnp.zeros((ST_H, C), dtype)
     st_rows = jax.lax.broadcasted_iota(jnp.int32, (ST_H, C), 0)
     st = jnp.where(st_rows == ST_N, n, st)
@@ -362,7 +390,7 @@ def mega_supported(grid, stencils: SweepStencils) -> bool:
     mu_up = np.asarray(grid.mu(), np.float64)[grid.nb_angles:]
     d = np.diff(mu_up)
     uniform = bool(np.allclose(d, d[0], rtol=1e-12, atol=1e-15))
-    return (stencils.small_cols.size == 0 and stencils.band_max <= SLOT
+    return (stencils.small_cols.size == 0 and stencils.band_max <= SLOT_CAP
             and uniform and grid.nb_angles % 8 == 0)
 
 
@@ -384,21 +412,22 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     m = grid.nb_angles
     m2 = 2 * m
     mu = np.asarray(grid.mu(), np.float64)
+    slot = slot_for(stencils.band_max)
 
     # polyfit stencil, applied from the left on the down half:
-    # polys = wall_T (4·SLOT, M) @ fv_dn;  placed = place_T (M, SLOT) @ band
-    wall_t = np.zeros((4 * SLOT, m))
-    valid = np.zeros((4, SLOT))
+    # polys = wall_T (4·slot, M) @ fv_dn;  placed = place_T (M, slot) @ band
+    wall_t = np.zeros((4 * slot, m))
+    valid = np.zeros((4, slot))
     for c in range(4):
         b = stencils.bands[c]
         src = stencils.poly_src[c]
         w = stencils.poly_w[c]                       # (band_max, 6)
         for i in range(b):
             for j in range(6):
-                wall_t[c * SLOT + i, src[j]] += w[i, j]
+                wall_t[c * slot + i, src[j]] += w[i, j]
         valid[c, :stencils.band_max] = stencils.poly_mask[c].astype(float)
-    place_t = np.zeros((m, SLOT))
-    for i in range(min(SLOT, m)):
+    place_t = np.zeros((m, slot))
+    for i in range(min(slot, m)):
         place_t[m - 1 - i, i] = 1.0
     # pvt[c] = placed-row validity (M,) per band choice
     pvt = (valid @ place_t.T)                        # (4, M)
@@ -455,13 +484,15 @@ def stack_source_operator(a_atm, a_aer, nb_angles: int, mm: str, dtype):
 def mega_call(pack, cpar, ops, ws, i1dn, i1up,
               *, nb_angles: int, tol: float, max_orders: int,
               cols_per_block: int, mm: str, interpret: bool = False,
-              ablate: str = ""):
+              ablate: str = "", summary: bool = False):
     """Run the whole-solve kernel.
 
     pack: (NG, PK_W, G·B) per-(layer, column) scalars; cpar: (CP_W, B);
     ws: (hi, lo) stacked source operator; i1dn/i1up: (NG, M, G·B)
     angle-major half first-order fields.
-    Returns (itot_dn, itot_up (NG, M, G·B), stats (ST_H, B)).
+    Returns (itot_dn, itot_up (NG, M, G·B), stats (ST_H, B)), or with
+    ``summary=True`` (toa_dn, toa_up, srf_dn, srf_up (M, B), stats) —
+    the accumulators never leave VMEM.
     """
     NG, M, GB = i1dn.shape
     C = cols_per_block
@@ -472,18 +503,31 @@ def mega_call(pack, cpar, ops, ws, i1dn, i1up,
     GC = G * C
     dtype = i1dn.dtype
     kern = functools.partial(_mega_kernel, nb_angles=nb_angles, tol=tol,
-                             max_orders=max_orders, mm=mm, ablate=ablate)
+                             max_orders=max_orders, mm=mm, ablate=ablate,
+                             summary=summary)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)
     blk3 = lambda r: pl.BlockSpec((NG, r, GC), lambda i: (0, 0, i),
                                   memory_space=pltpu.VMEM)
+    col2 = lambda r: pl.BlockSpec((r, C), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
     ws_hi, ws_lo = ws
+    scratch = [pltpu.VMEM((NG, M, GC), dtype) for _ in range(6)]
+    if summary:
+        out_specs = [col2(M)] * 4 + [col2(ST_H)]
+        out_shape = [jax.ShapeDtypeStruct((M, B), dtype)] * 4 + [
+            jax.ShapeDtypeStruct((ST_H, B), dtype)]
+        scratch += [pltpu.VMEM((NG, M, GC), dtype) for _ in range(2)]
+    else:
+        out_specs = [blk3(M), blk3(M), col2(ST_H)]
+        out_shape = [jax.ShapeDtypeStruct((NG, M, GB), dtype),
+                     jax.ShapeDtypeStruct((NG, M, GB), dtype),
+                     jax.ShapeDtypeStruct((ST_H, B), dtype)]
     grid_spec = pl.GridSpec(
         grid=(nblk,),
         in_specs=[
             blk3(PK_W),                                     # pack
-            pl.BlockSpec((CP_W, C), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),          # cpar
+            col2(CP_W),                                     # cpar
             rep(ops["colc"].shape),                          # colc
             rep(ws_hi.shape), rep(ws_lo.shape),
             rep(ops["wall"][0].shape), rep(ops["wall"][1].shape),
@@ -492,19 +536,13 @@ def mega_call(pack, cpar, ops, ws, i1dn, i1up,
             rep(ops["pvt"].shape),
             blk3(M), blk3(M),                               # i1 halves
         ],
-        out_specs=[
-            blk3(M), blk3(M),
-            pl.BlockSpec((ST_H, C), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((NG, M, GC), dtype) for _ in range(6)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NG, M, GB), dtype),
-                   jax.ShapeDtypeStruct((NG, M, GB), dtype),
-                   jax.ShapeDtypeStruct((ST_H, B), dtype)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),

@@ -52,6 +52,12 @@ SMOOTH_TOL = 1e-4
 BIG = 1e9
 UNROLL = 8
 
+# Largest per-kernel batch block that fits the 16 MB scoped-VMEM budget of
+# one TensorCore (measured on v5e at L=128, M=64: block 16 compiles, 32
+# exceeds the limit via the attenuation scratch + unroll temporaries).
+# Compiled path clamps to this; interpret mode is unconstrained.
+MAX_COMPILED_BLOCK_B = 16
+
 # pack lane indices
 PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP = range(8)
 PK_W = 8
@@ -94,6 +100,8 @@ def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 16,
     """jn_down: (B, L, Md); pack: (B, L, 8); mu_down_safe: (Md,), µ=0→-1."""
     b, L, md = jn_down.shape
     assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
+    if not interpret:
+        block_b = min(block_b, MAX_COMPILED_BLOCK_B)
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(
@@ -223,6 +231,8 @@ def up_sweep_smooth_pallas(jn_up, pack, cparams, mu_up_row, bc,
     """
     b, L, m = jn_up.shape
     assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
+    if not interpret:
+        block_b = min(block_b, MAX_COMPILED_BLOCK_B)
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(

@@ -99,18 +99,47 @@ def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
 
 @functools.lru_cache(maxsize=32)
 def _mega_solver(grid: GridSpec, opts: SolverOptions,
-                 cols_per_block: Optional[int] = None):
+                 cols_per_block: Optional[int] = None,
+                 outputs: str = "full"):
     """Cached jitted whole-solve mega-kernel solver (ops/megakernel.py)."""
     from sos_rt_tpu.fused import solve_batch_mega
 
     return jax.jit(lambda s, t: solve_batch_mega(
-        s, t, grid, opts, cols_per_block=cols_per_block))
+        s, t, grid, opts, cols_per_block=cols_per_block, outputs=outputs))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
+                           engine: str, outputs: str, block_b: int,
+                           p0_batched: bool):
+    """Pallas engines composed with the mesh: `shard_map` over 'data'.
+
+    GSPMD cannot propagate shardings *through* a `pallas_call`, so the
+    fast engines shard explicitly: each device runs the whole kernel on
+    its local column shard (columns are independent — no collectives in
+    the solve itself).  Per-column results equal the unsharded engine's.
+    """
+    from sos_rt_tpu.fused import solve_batch_fused, solve_batch_mega
+
+    if engine == "mega":
+        local = lambda s, t: solve_batch_mega(s, t, grid, opts,
+                                              outputs=outputs)
+    else:
+        local = lambda s, t: solve_batch_fused(s, t, grid, opts,
+                                               block_b=block_b)
+    d = P("data")
+    tbl_specs = PhaseTables(p0_atm=d if p0_batched else P(), p_atm=P(),
+                            p0_aer=d if p0_batched else P(), p_aer=P())
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(d, tbl_specs),
+                       out_specs=d, check_vma=False)
+    return jax.jit(fn)
 
 
 def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 opts: SolverOptions, mesh: Optional[Mesh] = None,
                 shard_tables: bool = False, buckets: int = 1,
-                engine: str = "reference", block_b: int = 16):
+                engine: str = "reference", block_b: int = 16,
+                outputs: str = "full"):
     """Solve a batch of columns; optionally sharded over ``mesh``.
 
     scenes: Scene pytree with (B,) leaves (see :func:`broadcast_scene`).
@@ -121,10 +150,16 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     dragged through the slowest column's `while_loop` trip count.
     Per-column results are unchanged (solver lanes mask their own
     convergence); only wall-clock improves.
+
+    ``outputs='summary'`` (mega engine) returns a
+    :class:`sos_rt_tpu.fused.SweepSummary` — TOA/surface rows + stats
+    only, the full field never leaves the chips.
     """
     if engine not in ("reference", "fused", "mega"):
         raise ValueError(f"unknown engine {engine!r}; "
                          "expected 'reference', 'fused' or 'mega'")
+    if outputs != "full" and engine != "mega":
+        raise ValueError("outputs='summary' requires engine='mega'")
     if buckets > 1:
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         if b % buckets:
@@ -140,7 +175,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if mesh is not None:
             fn = None
         elif engine == "mega":
-            fn = _mega_solver(grid, opts)
+            fn = _mega_solver(grid, opts, outputs=outputs)
         elif engine == "fused":
             fn = _fused_solver(grid, opts, block_b)
         else:
@@ -159,7 +194,9 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 outs.append(fn(part, part_tbl))
             else:
                 outs.append(solve_batch(part, part_tbl, grid, opts, mesh=mesh,
-                                        shard_tables=shard_tables))
+                                        shard_tables=shard_tables,
+                                        engine=engine, block_b=block_b,
+                                        outputs=outputs))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         inv = jnp.argsort(perm)
@@ -167,21 +204,40 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     if mesh is None:
         if engine == "mega":
-            return _mega_solver(grid, opts)(scenes, tables)
+            return _mega_solver(grid, opts, outputs=outputs)(scenes, tables)
         if engine == "fused":
             return _fused_solver(grid, opts, block_b)(scenes, tables)
         return _batched_solver(grid, opts,
                                jnp.ndim(tables.p0_atm) == 2)(scenes, tables)
 
+    p0b = jnp.ndim(tables.p0_atm) == 2
+    if engine in ("mega", "fused"):
+        # Pallas engines: explicit shard_map over 'data' (each device
+        # solves its local columns with the whole kernel); TP table
+        # sharding is a GSPMD-path feature only
+        if shard_tables:
+            raise ValueError("shard_tables (TP) requires engine='reference'")
+        fn = _sharded_engine_solver(grid, opts, mesh, engine, outputs,
+                                    block_b, p0b)
+        data_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)
+        table_sh = PhaseTables(p0_atm=data_sh if p0b else repl, p_atm=repl,
+                               p0_aer=data_sh if p0b else repl, p_aer=repl)
+        with jax.set_mesh(mesh):
+            scenes = jax.device_put(scenes, scene_sh)
+            tables = jax.device_put(tables, table_sh)
+            return fn(scenes, tables)
+
     data_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     tbl_mat = NamedSharding(mesh, P(None, "model")) if shard_tables else repl
     scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)
-    table_sh = PhaseTables(p0_atm=repl, p_atm=tbl_mat, p0_aer=repl,
-                           p_aer=tbl_mat)
+    table_sh = PhaseTables(p0_atm=data_sh if p0b else repl, p_atm=tbl_mat,
+                           p0_aer=data_sh if p0b else repl, p_aer=tbl_mat)
     with jax.set_mesh(mesh):
         scenes = jax.device_put(scenes, scene_sh)
         tables = jax.device_put(tables, table_sh)
         # sharding comes from the committed inputs; the cached jitted fn
         # is shared with the unsharded path
-        return _batched_solver(grid, opts)(scenes, tables)
+        return _batched_solver(grid, opts, p0b)(scenes, tables)

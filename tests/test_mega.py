@@ -67,6 +67,43 @@ def test_mega_pads_ragged_batch():
                                rtol=1e-9, atol=1e-11 * scale)
 
 
+def test_mega_summary_matches_full():
+    """outputs='summary' returns exactly the full solve's TOA/surface
+    rows and stats (the accumulators just stay in VMEM)."""
+    grid = GridSpec(nb_angles=56, nb_layers=64)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(4)
+    full = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True)
+    summ = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True, outputs="summary")
+    np.testing.assert_array_equal(np.asarray(summ.n_orders),
+                                  np.asarray(full.n_orders))
+    np.testing.assert_array_equal(np.asarray(summ.converged),
+                                  np.asarray(full.converged))
+    np.testing.assert_array_equal(np.asarray(summ.i_toa),
+                                  np.asarray(full.i_total[:, 0, :]))
+    np.testing.assert_array_equal(np.asarray(summ.i_surface),
+                                  np.asarray(full.i_total[:, -1, :]))
+
+
+def test_mega_summary_fallback_small_mu_grid():
+    """summary mode on a mega-unsupported grid delegates to the fused
+    path and reduces its Solution."""
+    grid = GridSpec(nb_angles=201, nb_layers=48)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(2)
+    ref = solve_batch(scenes, tables, grid, opts)
+    summ = solve_batch_mega(scenes, tables, grid, opts, interpret=True,
+                            outputs="summary")
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(summ.i_toa),
+                               np.asarray(ref.i_total[:, 0, :]),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
 def test_mega_falls_back_on_small_mu_grid():
     """M=201 has |µ|<0.01 columns → mega must delegate to the fused path."""
     grid = GridSpec(nb_angles=201, nb_layers=48)

@@ -45,15 +45,14 @@ def main():
         "noconv,nosrc",
         "noconv,noloops",
         "noconv,nopoly",
+        "noconv,nosmooth",
         "noconv,nofin",
-        "noconv,nop1",
-        "noconv,nop2",
-        "noconv,nop3",
-        "noconv,nop4",
         "noconv,nobc",
         "noconv,noratio",
+        "noconv,nopassA",
+        "noconv,nopassB",
         "noconv,nosrc,noloops,nopoly,nofin",
-        "noconv,nop1,noloops,nop2,nobc,nop3,nop4,noratio",
+        "noconv,nopassA,nopassB,noratio",
     ]
     times = {}
     for ab in variants:
@@ -75,12 +74,10 @@ def main():
     full = times["noconv"]
     print(f"\nper-stage share of the full {full*1e3:.1f} ms "
           f"({orders} orders, block={block}, B={batch}):")
-    for ab in variants[1:-2]:
-        stage = ab.split(",")[1]
-        print(f"  {stage:10s}: {(full - times[ab])*1e3:7.1f} ms "
+    for ab in variants[1:]:
+        stage = ",".join(ab.split(",")[1:])
+        print(f"  {stage:28s}: {(full - times[ab])*1e3:7.1f} ms "
               f"({100*(full-times[ab])/full:5.1f}%)")
-    resid = times[variants[-1]]
-    print(f"  residual  : {resid*1e3:7.1f} ms ({100*resid/full:5.1f}%)")
 
 
 if __name__ == "__main__":
