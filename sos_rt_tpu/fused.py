@@ -25,7 +25,7 @@ import numpy as np
 from sos_rt_tpu.config import (GridSpec, MATMUL_PRECISION, Scene,
                                SolverOptions)
 from sos_rt_tpu.grids import tau_profile
-from sos_rt_tpu.ops.first_order import first_order
+from sos_rt_tpu.ops.first_order import first_order, first_order_mega_inputs
 from sos_rt_tpu.ops.pallas_sweeps import (
     build_pack,
     down_sweep_pallas,
@@ -67,7 +67,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      opts: SolverOptions, cols_per_block: int | None = None,
                      interpret: bool | None = None, sort: bool = True,
                      mm: str | None = None, ablate: str = "",
-                     outputs: str = "full"):
+                     outputs: str = "full", i1: str = "kernel"):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
@@ -83,6 +83,13 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     ``mm`` selects the matmul precision mode: 'bf16x3' (manual 3-pass
     bf16 decomposition, ~1e-7 relative — the f32 default) or 'highest'
     (6-pass, used automatically for f64).
+
+    ``i1`` selects where the first order is evaluated: 'kernel' (default
+    — inside the Pallas kernel from compact per-column inputs, see
+    ops/first_order.py::first_order_mega_inputs) or 'host' (the vmapped
+    closed form materializing (B, L, 2M) half-fields in HBM; kept for
+    ablation and as the Solution.i1 provider).  With i1='kernel' and
+    outputs='full', Solution.i1 is None.
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -113,7 +120,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         sol = solve_batch_mega(scenes, tables, grid, opts,
                                cols_per_block=cols_per_block,
                                interpret=interpret, sort=False,
-                               mm=mm, ablate=ablate, outputs=outputs)
+                               mm=mm, ablate=ablate, outputs=outputs, i1=i1)
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
@@ -163,16 +170,27 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     p0_batched = jnp.ndim(tables.p0_atm) == 2
     p0a_ax = 0 if p0_batched else None
-    i1t = jax.vmap(
-        lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr, p0a, p0r: first_order(
-            opts.surface, tv, mu, M, mu0, ra, aa, ar, p0a,
-            tables.p_atm, p0r, tables.p_aer, iu, idn, wa, wr, w_mu),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, p0a_ax, p0a_ax),
-        out_axes=1,
-    )(tau, jnp.asarray(scenes.mu0, dtype), jnp.asarray(scenes.grd_alb, dtype),
-      jnp.asarray(scenes.alb_atm, dtype), jnp.asarray(scenes.alb_aer, dtype),
-      idx_up, idx_down, w_atm, w_aer, tables.p0_atm, tables.p0_aer)
-    # i1t: (L, B, 2M)
+    if i1 == "kernel":
+        i1_pack, i1_tiles, colc_pk, i1_const, astack = first_order_mega_inputs(
+            opts.surface, tau, mu, M, scenes.mu0, scenes.grd_alb,
+            scenes.alb_atm, scenes.alb_aer, tables.p0_atm, tables.p_atm,
+            tables.p0_aer, tables.p_aer, idx_up, idx_down, w_atm, w_aer,
+            w_mu, dtype)
+        i1t = None
+    else:
+        i1t = jax.vmap(
+            lambda tv, mu0, ra, aa, ar, iu, idn, wa, wr, p0a, p0r:
+            first_order(
+                opts.surface, tv, mu, M, mu0, ra, aa, ar, p0a,
+                tables.p_atm, p0r, tables.p_aer, iu, idn, wa, wr, w_mu),
+            in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, p0a_ax, p0a_ax),
+            out_axes=1,
+        )(tau, jnp.asarray(scenes.mu0, dtype),
+          jnp.asarray(scenes.grd_alb, dtype),
+          jnp.asarray(scenes.alb_atm, dtype),
+          jnp.asarray(scenes.alb_aer, dtype),
+          idx_up, idx_down, w_atm, w_aer, tables.p0_atm, tables.p0_aer)
+        # i1t: (L, B, 2M)
 
     def to_lanes(x_lb):
         """(L, B) → (NG, G·B) in the kernel's (chunk, block·layer·col)
@@ -229,12 +247,15 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     zeros_lb = jnp.zeros((L, Bp), dtype)
     rows = [tau_t, hdt_dn, hdt_up, coef_atm, coef_aer, cdn, cup, gs,
             r1, r2, choice_res]
+    if i1 == "kernel":
+        rows += [i1_pack[k] for k in mk.I1_PACK_KEYS]
     rows += [zeros_lb] * (mk.PK_W - len(rows))
     pack = jnp.stack([to_lanes(x) for x in rows], axis=1)
 
     grd = jnp.asarray(scenes.grd_alb, dtype)
-    cpar = jnp.stack([grd] + [jnp.zeros((Bp,), dtype)] * (mk.CP_W - 1),
-                     axis=0)
+    zb = jnp.zeros((Bp,), dtype)
+    const_row = i1_const.astype(dtype) if i1 == "kernel" else zb
+    cpar = jnp.stack([grd, const_row] + [zb] * (mk.CP_W - 2), axis=0)
 
     a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
@@ -242,14 +263,25 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     ops = mk.build_static_operators(grid, stencils, opts.surface,
                                     w_mu_np, dtype, mm)
 
-    i1dn = half_to_lanes(i1t[:, :, :M])
-    i1up = half_to_lanes(i1t[:, :, M:])
+    if i1 == "kernel":
+        if astack is None:     # specular: no surface-integral operator
+            zsplit = (jnp.zeros((1, 1), dtype),) * 2
+            astk = zsplit
+        elif mm == "bf16x3":
+            astk = mk._split_bf16(astack)
+        else:
+            astk = (jnp.asarray(astack, dtype), jnp.zeros((1, 1), dtype))
+        call_kw = dict(i1c=dict(tiles=i1_tiles, astk=astk, colc_pk=colc_pk),
+                       surface=opts.surface)
+    else:
+        call_kw = dict(i1dn=half_to_lanes(i1t[:, :, :M]),
+                       i1up=half_to_lanes(i1t[:, :, M:]))
     if outputs == "summary":
         toadn, toaup, srfdn, srfup, stats = mk.mega_call(
-            pack, cpar, ops, ws, i1dn, i1up,
+            pack, cpar, ops, ws,
             nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
             cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate,
-            summary=True)
+            summary=True, **call_kw)
         return SweepSummary(
             i_toa=jnp.concatenate([toadn.T, toaup.T], axis=1)[:B],
             i_surface=jnp.concatenate([srfdn.T, srfup.T], axis=1)[:B],
@@ -257,16 +289,17 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             converged=stats[mk.ST_CONV, :B] > 0.5,
             tau=tau[:B], idx_up=idx_up[:B], idx_down=idx_down[:B])
     itd, itu, stats = mk.mega_call(
-        pack, cpar, ops, ws, i1dn, i1up,
+        pack, cpar, ops, ws,
         nb_angles=M, tol=float(opts.tol), max_orders=int(opts.max_orders),
-        cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate)
+        cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate,
+        **call_kw)
 
     i_total = jnp.concatenate(
         [half_from_lanes(itd), half_from_lanes(itu)], axis=2)[:B]
-    i1 = jnp.swapaxes(i1t, 0, 1)[:B]
+    i1_out = None if i1t is None else jnp.swapaxes(i1t, 0, 1)[:B]
     n_orders = stats[mk.ST_N, :B].astype(jnp.int32)
     converged = stats[mk.ST_CONV, :B] > 0.5
-    return Solution(i_total=i_total, i1=i1, n_orders=n_orders,
+    return Solution(i_total=i_total, i1=i1_out, n_orders=n_orders,
                     converged=converged, tau=tau[:B],
                     idx_up=idx_up[:B], idx_down=idx_down[:B])
 

@@ -357,7 +357,7 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
 
     tau: (B, L); mu0/grd_alb/alb_*: (B,); p0_*: (2M,) or (B, 2M).
     Returns (pack_rows dict of (L, B), tiles (NI, M, B),
-    colc_pk (2, M) numpy, const (B,), astack (4M, M) or None).
+    colc_pk (2, M), const (B,), astack (4M, M) or None).
     """
     B, L = tau.shape
     M = nb_angles
@@ -473,11 +473,11 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
         a_up_atm, a_up_aer = a_up(pm_atm), a_up(pm_aer)
         astack = jnp.concatenate([a_dn_atm, a_dn_aer, a_up_atm, a_up_aer])
         # excised-singularity rows (per-angle): row 0 → 0 (1/µ·0 anyway)
-        pk_row = lambda pm: np.concatenate(
-            [[0.0], np.asarray(jnp.take_along_axis(
-                pm[mue], sing_k[:, None], axis=1)[:, 0]
-                * wg[sing_k], np.float64)])
-        colc_pk = np.stack([pk_row(pm_atm), pk_row(pm_aer)])
+        pk_row = lambda pm: jnp.concatenate(
+            [jnp.zeros((1,), dtype),
+             jnp.take_along_axis(pm[mue], sing_k[:, None], axis=1)[:, 0]
+             * wg[sing_k]])
+        colc_pk = jnp.stack([pk_row(pm_atm), pk_row(pm_aer)])
 
         # region surface constants sck_r = Σ_k A[m,k]·e^{-(τ*-tref_r)/µ'_k}
         # — (M, B) per region per sweep, mixed by the region's (ca, cr)
@@ -500,7 +500,7 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
     else:
         const = jnp.zeros((B,), dtype)
         astack = None
-        colc_pk = np.zeros((2, M))
+        colc_pk = jnp.zeros((2, M), dtype)
         # specular mirror-surface coefficient tiles
         frs = f0 * rho * es / (4 * jnp.pi)                   # (B, 1)
         rm_dn = jnp.concatenate(

@@ -80,17 +80,26 @@ def slot_for(band_max: int) -> int:
     instead of always paying the 32-slot worst case."""
     return max(8, -(-band_max // 8) * 8)
 
-# pack sublane-row indices (per layer × column scalars, lanes = G·C)
-PK_TAU, PK_HDT_DN, PK_HDT_UP, PK_COEF_ATM, PK_COEF_AER, \
-    PK_CDN, PK_CUP, PK_GS, PK_R1, PK_R2, PK_CHOICE = range(11)
-PK_W = 16
+# pack sublane-row indices (per layer × column scalars, lanes = G·C);
+# rows 11+ are the in-kernel-I₁ per-layer scalars (ops/first_order.py::
+# first_order_mega_inputs pack_rows, same key order)
+(PK_TAU, PK_HDT_DN, PK_HDT_UP, PK_COEF_ATM, PK_COEF_AER,
+ PK_CDN, PK_CUP, PK_GS, PK_R1, PK_R2, PK_CHOICE,
+ PK_ABDN, PK_ASDN, PK_ABUP, PK_ASUP, PK_ASTAR, PK_E0T, PK_ES0T,
+ PK_E0RDN, PK_ESRDN, PK_E0RUP, PK_ESRUP, PK_REGION) = range(23)
+PK_W = 24
+I1_PACK_KEYS = ("abdn", "asdn", "abup", "asup", "astar", "e0t", "es0t",
+                "e0rdn", "esrdn", "e0rup", "esrup", "region")
 
 # cpar sublane-row indices (per column scalars)
 CP_GRD = 0
+CP_CONST = 1       # I₁ Lambertian surface constant ρ·e^{-τ*/µ0}/4
 CP_W = 8
 
-# colc row indices ((RC_H, M, 128) per-angle constants, lane-replicated)
-RC_EMU_DN, RC_EMU_UP, RC_IVDN, RC_IVUP = range(4)
+# colc row indices ((RC_H, M, 128) per-angle constants, lane-replicated);
+# rows RC_PKA/RC_PKR (in-kernel I₁ only) are the excised-singularity
+# columns pm[µ'=µ]·w from first_order_mega_inputs' colc_pk
+RC_EMU_DN, RC_EMU_UP, RC_IVDN, RC_IVUP, RC_PKA, RC_PKR = range(6)
 RC_H = 4
 
 # stats sublane-row indices (per column outputs, (ST_H, C))
@@ -148,7 +157,8 @@ def _smooth_up(v, rowf, m: int):
 
 
 def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
-                 mm: str, ablate: str = "", summary: bool = False):
+                 mm: str, ablate: str = "", summary: bool = False,
+                 i1_kernel: bool = False, lamb: bool = True):
     """Whole-solve kernel body (two chunked field passes per order).
 
     ``summary``: the I_tot accumulators stay in VMEM scratch and only
@@ -166,15 +176,21 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     """
     (pack_ref, cpar_ref, colc_ref,
      ws_hi, ws_lo, wall_hi, wall_lo, place_hi, place_lo,
-     bc_hi, bc_lo, pvt_ref, i1dn_ref, i1up_ref) = refs[:14]
+     bc_hi, bc_lo, pvt_ref) = refs[:12]
+    if i1_kernel:
+        tiles_ref, astk_hi, astk_lo = refs[12:15]
+        rest = refs[15:]
+    else:
+        i1dn_ref, i1up_ref = refs[12:14]
+        rest = refs[14:]
     if summary:
         (toadn_ref, toaup_ref, srfdn_ref, srfup_ref, stats_ref,
          attdn_ref, attup_ref, sdn_ref, jnup_ref,
-         fdn_ref, fup_ref, itotdn_ref, itotup_ref) = refs[14:]
+         fdn_ref, fup_ref, itotdn_ref, itotup_ref) = rest
     else:
         (itotdn_ref, itotup_ref, stats_ref,
          attdn_ref, attup_ref, sdn_ref, jnup_ref,
-         fdn_ref, fup_ref) = refs[14:]
+         fdn_ref, fup_ref) = rest
     ab = frozenset(ablate.split(",")) if ablate else frozenset()
     SLOT = wall_hi.shape[0] // 4      # polyfit band slots (see slot_for)
     NG, M, GC = fdn_ref.shape
@@ -198,19 +214,107 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
 
     # ---- pre: per-step attenuations (down: e^{2·hdt_dn/µ}; up:
     # e^{-2·hdt_up/µ}, 0 at the µ=0⁺ row so the up recurrence pins
-    # I(µ=0)=Jₙ); field/I_tot init from I₁ ----
+    # I(µ=0)=Jₙ); field/I_tot init from I₁ — either read from the HBM
+    # half-fields, or (i1_kernel) evaluated here from the closed form
+    # (ops/first_order.py::first_order regrouped; see
+    # first_order_mega_inputs for the host-side part) ----
+    if i1_kernel:
+        from sos_rt_tpu.ops import first_order as fo
+
+        constc = cpar_ref[CP_CONST:CP_CONST + 1, :]          # (1, C)
+        pka = colc_ref[RC_PKA, :, 0:1]                       # (M, 1)
+        pkr = colc_ref[RC_PKR, :, 0:1]
+        lastrow_c = rowf_c > M - 1.5                         # µ=0⁻ row mask
+        til = lambda i: tiles_ref[i]                         # (M, C)
+
+        def i1_block(pk, eout, et, sl):
+            """I₁ halves for one C-column layer slice (each (M, C))."""
+            s = lambda row: pk[row:row + 1, sl]              # (1, C)
+            ca = 4.0 * s(PK_COEF_ATM)        # exact: coef rows are ca/4
+            cr = 4.0 * s(PK_COEF_AER)
+            reg = s(PK_REGION)
+            in_a, in_b = reg < 0.5, reg < 1.5
+            sel = lambda va, vb, vc: jnp.where(
+                in_a, va, jnp.where(in_b, vb, vc))
+            e0t, es0t = s(PK_E0T), s(PK_ES0T)
+            clexp = lambda x: jnp.exp(jnp.minimum(x, 0.0))
+            # ---- down half (row M-1 = µ=0⁻: att terms masked off) ----
+            attb = jnp.where(lastrow_c, 0.0, clexp(s(PK_ABDN) * emu_dn))
+            atts = jnp.where(lastrow_c, 0.0, clexp(s(PK_ASDN) * emu_dn))
+            dirn = ((ca * til(fo.T_DDA) + cr * til(fo.T_DDR))
+                    * (e0t - s(PK_E0RDN) * attb))
+            dres = (ca * til(fo.T_DBA) + cr * til(fo.T_DBR)) \
+                * e0t * s(PK_ABDN)
+            dirn = jnp.where(til(fo.T_RESDN) > 0.5, dres, dirn)
+            if lamb:
+                rowsel = ca * eout[:M, sl] + cr * eout[M:2 * M, sl]
+                sck = sel(til(fo.T_SCKDNA), til(fo.T_SCKDNB),
+                          til(fo.T_SCKDNC))
+                surf = constc * (rowsel - atts * sck)
+            else:
+                surf = ((ca * til(fo.T_DMA) + cr * til(fo.T_DMR))
+                        * (es0t - s(PK_ESRDN) * atts))
+            before = sel(jnp.zeros_like(attb), til(fo.T_ROWA),
+                         til(fo.T_ROWB))
+            i1d = dirn + surf + before * attb
+            # ---- up half (row 0 = µ=0⁺: att terms masked off) ----
+            attbu = jnp.where(row0_c, 0.0, clexp(s(PK_ABUP) * ivup))
+            attsu = jnp.where(row0_c, 0.0, clexp(s(PK_ASUP) * ivup))
+            diru = ((ca * til(fo.T_UDA) + cr * til(fo.T_UDR))
+                    * (e0t - s(PK_E0RUP) * attbu))
+            if lamb:
+                rowsel = ca * eout[2 * M:3 * M, sl] + cr * eout[3 * M:, sl]
+                sck = sel(til(fo.T_SCKUPA), til(fo.T_SCKUPB),
+                          til(fo.T_SCKUPC))
+                lim = (ivup * et[:, sl] * (-s(PK_ASUP))
+                       * (ca * pka + cr * pkr) * constc)
+                surf = constc * (rowsel - attsu * sck) + lim
+            else:
+                surf = ((ca * til(fo.T_UMA) + cr * til(fo.T_UMR))
+                        * (es0t - s(PK_ESRUP) * attsu))
+                sres = (ca * til(fo.T_UBA) + cr * til(fo.T_UBR)) \
+                    * es0t * (-s(PK_ASUP))
+                surf = jnp.where(til(fo.T_RESUP) > 0.5, sres, surf)
+            before = sel(til(fo.T_ROWBU), til(fo.T_ROWC), til(fo.T_BC))
+            i1u = diru + surf + before * attbu
+            return i1d, i1u
+
     def pre(g, _):
         hdn = pack_ref[g, PK_HDT_DN:PK_HDT_DN + 1, :]       # (1, GC)
         hup = pack_ref[g, PK_HDT_UP:PK_HDT_UP + 1, :]
         attdn_ref[g] = jnp.exp(2.0 * hdn * emu_dn)
         aup = jnp.exp(2.0 * hup * emu_up)
         attup_ref[g] = jnp.where(rowf_g < 0.5, 0.0, aup)
-        i1d = i1dn_ref[g]
-        i1u = i1up_ref[g]
-        fdn_ref[g] = i1d
-        fup_ref[g] = i1u
-        itotdn_ref[g] = i1d
-        itotup_ref[g] = i1u
+        if i1_kernel and "noi1" not in ab:
+            pk = pack_ref[g]
+            # e^{-(τ*-τ_t)/µ'_k} on angle rows (row 0: µ'=0 → 0); feeds
+            # both the Lambertian surface matmul and the µ'=µ limit term
+            astar = pk[PK_ASTAR:PK_ASTAR + 1, :]             # (1, GC)
+            et = jnp.where(rowf_g < 0.5, 0.0, jnp.exp(astar * ivup))
+            if lamb:
+                eout = dot3(astk_hi, astk_lo, et)            # (4M, GC)
+            else:
+                eout = et                                    # unused
+            for k in range(G):
+                sl = slice(k * C, (k + 1) * C)
+                i1d, i1u = i1_block(pk, eout, et, sl)
+                fdn_ref[g, :, sl] = i1d
+                fup_ref[g, :, sl] = i1u
+                itotdn_ref[g, :, sl] = i1d
+                itotup_ref[g, :, sl] = i1u
+        elif i1_kernel:
+            one = jnp.ones((M, GC), dtype)
+            fdn_ref[g] = one
+            fup_ref[g] = one
+            itotdn_ref[g] = one
+            itotup_ref[g] = one
+        else:
+            i1d = i1dn_ref[g]
+            i1u = i1up_ref[g]
+            fdn_ref[g] = i1d
+            fup_ref[g] = i1u
+            itotdn_ref[g] = i1d
+            itotup_ref[g] = i1u
         return 0
 
     jax.lax.fori_loop(0, NG, pre, 0)
@@ -481,30 +585,36 @@ def stack_source_operator(a_atm, a_aer, nb_angles: int, mm: str, dtype):
     return jnp.asarray(w, dtype), jnp.zeros((1, 1), dtype)
 
 
-def mega_call(pack, cpar, ops, ws, i1dn, i1up,
+def mega_call(pack, cpar, ops, ws, i1dn=None, i1up=None,
               *, nb_angles: int, tol: float, max_orders: int,
               cols_per_block: int, mm: str, interpret: bool = False,
-              ablate: str = "", summary: bool = False):
+              ablate: str = "", summary: bool = False, i1c=None,
+              surface: str = "lambertian"):
     """Run the whole-solve kernel.
 
     pack: (NG, PK_W, G·B) per-(layer, column) scalars; cpar: (CP_W, B);
     ws: (hi, lo) stacked source operator; i1dn/i1up: (NG, M, G·B)
-    angle-major half first-order fields.
+    angle-major half first-order fields, or ``i1c`` a dict with
+    ``tiles`` (NI, M, B), ``astk`` (hi, lo) and ``colc_pk`` (2, M) to
+    evaluate I₁ inside the kernel instead (the (B, L, 2M) half-field
+    materialization + lane transposes dominated the batched fixed cost).
     Returns (itot_dn, itot_up (NG, M, G·B), stats (ST_H, B)), or with
     ``summary=True`` (toa_dn, toa_up, srf_dn, srf_up (M, B), stats) —
     the accumulators never leave VMEM.
     """
-    NG, M, GB = i1dn.shape
+    NG, _, GB = pack.shape
+    M = nb_angles
     C = cols_per_block
     B = cpar.shape[1]
     G = GB // B
     assert B % C == 0, (B, C)
     nblk = B // C
     GC = G * C
-    dtype = i1dn.dtype
+    dtype = pack.dtype
     kern = functools.partial(_mega_kernel, nb_angles=nb_angles, tol=tol,
                              max_orders=max_orders, mm=mm, ablate=ablate,
-                             summary=summary)
+                             summary=summary, i1_kernel=i1c is not None,
+                             lamb=surface == "lambertian")
     rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)
     blk3 = lambda r: pl.BlockSpec((NG, r, GC), lambda i: (0, 0, i),
@@ -512,6 +622,21 @@ def mega_call(pack, cpar, ops, ws, i1dn, i1up,
     col2 = lambda r: pl.BlockSpec((r, C), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
     ws_hi, ws_lo = ws
+    colc = ops["colc"]
+    if i1c is not None:
+        # append the per-angle excised-singularity columns (RC_PKA/RC_PKR)
+        pk2 = jnp.broadcast_to(
+            jnp.asarray(i1c["colc_pk"], dtype)[:, :, None],
+            (2, colc.shape[1], colc.shape[2]))
+        colc = jnp.concatenate([colc, pk2], axis=0)
+        ntile = i1c["tiles"].shape[0]
+        i1_specs = [pl.BlockSpec((ntile, M, C), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    rep(i1c["astk"][0].shape), rep(i1c["astk"][1].shape)]
+        i1_args = [i1c["tiles"], i1c["astk"][0], i1c["astk"][1]]
+    else:
+        i1_specs = [blk3(M), blk3(M)]
+        i1_args = [i1dn, i1up]
     scratch = [pltpu.VMEM((NG, M, GC), dtype) for _ in range(6)]
     if summary:
         out_specs = [col2(M)] * 4 + [col2(ST_H)]
@@ -528,14 +653,13 @@ def mega_call(pack, cpar, ops, ws, i1dn, i1up,
         in_specs=[
             blk3(PK_W),                                     # pack
             col2(CP_W),                                     # cpar
-            rep(ops["colc"].shape),                          # colc
+            rep(colc.shape),                                 # colc
             rep(ws_hi.shape), rep(ws_lo.shape),
             rep(ops["wall"][0].shape), rep(ops["wall"][1].shape),
             rep(ops["place"][0].shape), rep(ops["place"][1].shape),
             rep(ops["bcmat"][0].shape), rep(ops["bcmat"][1].shape),
             rep(ops["pvt"].shape),
-            blk3(M), blk3(M),                               # i1 halves
-        ],
+        ] + i1_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -547,6 +671,6 @@ def mega_call(pack, cpar, ops, ws, i1dn, i1up,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(pack, cpar, ops["colc"], ws_hi, ws_lo,
+    )(pack, cpar, colc, ws_hi, ws_lo,
       ops["wall"][0], ops["wall"][1], ops["place"][0], ops["place"][1],
-      ops["bcmat"][0], ops["bcmat"][1], ops["pvt"], i1dn, i1up)
+      ops["bcmat"][0], ops["bcmat"][1], ops["pvt"], *i1_args)
