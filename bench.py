@@ -9,40 +9,59 @@ f32, one chip.  Target: ≥ 1e5 column-solves/s/chip (vs_baseline = value/1e5).
 The sweep runs the mega engine with ``outputs='summary'``: every column
 is solved to 100 ppm on-chip; only the TOA/surface rows and stats leave
 the device (what config-5 consumers — forcing/critical-albedo sweeps —
-read; full fields via outputs='full').
+read; full fields via outputs='full').  BASELINE.md records the
+output-mode alongside each measurement.
 
 Secondary metrics (stderr): canonical-grid (501 angles × 800 layers)
-single-column solve latency.
+single-column solve latency; on-TPU mega-vs-reference parity
+(max rel err over TOA/surface rows — the compiled-kernel correctness
+artifact, VERDICT r2 item 4).
+
+Robustness: the TPU relay's compile service has minutes-scale variance
+(r2: the same sweep compile measured 123 s and 957 s; the r2 canonical
+"regression" was a relay stall, not a code change — r3 re-measured the
+identical canonical call at 7-9 s compile / 29 ms solve).  Mitigations:
+a persistent compilation cache (.jax_cache, shared across processes and
+rounds), the cheap canonical stage runs FIRST, every stage runs in a
+fresh subprocess with a generous timeout and one retry, and the driver
+exits 0 regardless of secondary-stage failures.
 """
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
-from sos_rt_tpu.ops.sweeps import build_stencils
-from sos_rt_tpu.parallel import broadcast_scene
-from sos_rt_tpu.solver import PhaseTables, solve_column
-
+HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET = 1e5
 N_MU0 = 64          # distinct solar angles in the µ0 sweep axis
+
+
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_batch(batch: int, grid: GridSpec):
-    """Config-5 sweep: (µ0, grd_alb, τ*_aer, ω_aer) randomized per column.
+def _sweep_inputs(batch: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    µ0 draws from N_MU0 distinct values; only P0(µ, µ0) depends on µ0
-    (built once per distinct value, gathered per column)."""
+    from sos_rt_tpu.config import GridSpec, Scene
+    from sos_rt_tpu.parallel import broadcast_scene
+    from sos_rt_tpu.solver import PhaseTables
+
+    grid = GridSpec(nb_angles=64, nb_layers=128)
     base = broadcast_scene(Scene(), batch)
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -61,16 +80,19 @@ def make_batch(batch: int, grid: GridSpec):
     tables = dataclasses.replace(tables,
                                  p0_atm=tables.p0_atm[mu0_idx],
                                  p0_aer=tables.p0_aer[mu0_idx])
-    return scenes, tables
+    return scenes, tables, grid
 
 
 def bench_sweep(batch=32768, reps=4, buckets=1, engine="mega", block_b=64):
+    import jax
+    import jax.numpy as jnp
+
+    from sos_rt_tpu.config import SolverOptions
     from sos_rt_tpu.parallel import solve_batch
 
-    grid = GridSpec(nb_angles=64, nb_layers=128)
     opts = SolverOptions(surface="lambertian", dtype="float32",
                          max_orders=100, scan_impl="sequential")
-    scenes, tables = make_batch(batch, grid)
+    scenes, tables, grid = _sweep_inputs(batch)
     outputs = "summary" if engine == "mega" else "full"
 
     def run(i):
@@ -101,6 +123,13 @@ def bench_sweep(batch=32768, reps=4, buckets=1, engine="mega", block_b=64):
 
 
 def bench_canonical():
+    import jax
+    import jax.numpy as jnp
+
+    from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+    from sos_rt_tpu.ops.sweeps import build_stencils
+    from sos_rt_tpu.solver import PhaseTables, solve_column
+
     grid = GridSpec(nb_angles=501, nb_layers=800)
     opts = SolverOptions(surface="lambertian", dtype="float32", max_orders=40)
     tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
@@ -122,46 +151,104 @@ def bench_canonical():
     return dt
 
 
+def bench_parity(batch=256):
+    """On-TPU compiled mega kernel vs the reference engine: max rel err
+    over the TOA/surface rows + order-count agreement (the correctness
+    artifact for the hand-rolled kernel numerics — bf16x3 splits,
+    in-kernel I₁, join carries — beyond interpret-mode tests)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sos_rt_tpu.config import SolverOptions
+    from sos_rt_tpu.parallel import solve_batch
+
+    opts = SolverOptions(surface="lambertian", dtype="float32",
+                         max_orders=100, scan_impl="sequential")
+    scenes, tables, grid = _sweep_inputs(batch)
+    mega = solve_batch(scenes, tables, grid, opts, engine="mega",
+                       outputs="summary", block_b=64)
+    ref = solve_batch(scenes, tables, grid, opts, engine="reference")
+    ref_toa = np.asarray(ref.i_total[:, 0, :])
+    ref_srf = np.asarray(ref.i_total[:, -1, :])
+    scale = max(np.abs(ref_toa).max(), np.abs(ref_srf).max())
+    err = max(np.abs(np.asarray(mega.i_toa) - ref_toa).max(),
+              np.abs(np.asarray(mega.i_surface) - ref_srf).max()) / scale
+    n_eq = int((np.asarray(mega.n_orders) == np.asarray(ref.n_orders)).sum())
+    log(f"tpu mega parity: max rel err {err:.3e} over {batch} columns "
+        f"(TOA+surface rows, vs reference engine); "
+        f"order counts equal {n_eq}/{batch}")
+    return err
+
+
 def _emit(rate: float):
     print(json.dumps({
-        "metric": "column-solves/s/chip (config-5 sweep mu0+alb+tau, grid 128x128, 100ppm, f32)",
+        "metric": ("column-solves/s/chip (config-5 sweep mu0+alb+tau, "
+                   "grid 128x128, 100ppm, f32, summary outputs)"),
         "value": round(rate, 1),
         "unit": "columns/s",
         "vs_baseline": round(rate / TARGET, 4),
     }))
 
 
-def main():
-    """Parent driver: every device-touching stage runs in a fresh
-    subprocess.  A TPU RESOURCE_EXHAUSTED poisons the whole JAX client
-    (every later dispatch in the process fails), so in-process fallback
-    ladders are useless — isolate each attempt instead."""
+def _stage(argv, timeout, retries=1):
+    """Run one bench stage in a fresh subprocess (a TPU
+    RESOURCE_EXHAUSTED poisons the whole JAX client, and relay stalls
+    need hard timeouts + retries — see module docstring)."""
     import subprocess
 
-    here = __file__
-    for batch in (32768, 16384, 8192):
-        r = subprocess.run([sys.executable, here, "--sweep", str(batch)],
-                           capture_output=True, text=True, timeout=1200)
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run([sys.executable, __file__] + argv,
+                               capture_output=True, text=True,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired as e:
+            log(f"stage {argv} attempt {attempt + 1} timed out after "
+                f"{timeout}s")
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode())
+            continue
         sys.stderr.write(r.stderr)
-        line = (r.stdout.strip().splitlines() or [""])[-1]
-        if r.returncode == 0 and line:
-            print(line, flush=True)
-            break
-        log(f"sweep batch={batch} failed (rc={r.returncode}); retrying smaller")
-    else:
+        if r.returncode == 0:
+            return r
+        log(f"stage {argv} attempt {attempt + 1} failed rc={r.returncode}")
+    return None
+
+
+def main():
+    # 1. canonical first: cheap (≤ 1 min warm-cache), and a stalled relay
+    #    can then only hurt later stages
+    _stage(["--canonical"], timeout=720, retries=1)
+    # 2. headline sweep: batch ladder, generous per-attempt timeout
+    emitted = False
+    for batch in (32768, 32768, 16384, 8192):
+        r = _stage(["--sweep", str(batch)], timeout=1800, retries=0)
+        if r is not None:
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            if line:
+                print(line, flush=True)
+                emitted = True
+                break
+        log(f"sweep batch={batch} failed; retrying")
+    if not emitted:
         _emit(0.0)
-    # secondary metric; isolated so it can never hurt the headline
-    r = subprocess.run([sys.executable, here, "--canonical"],
-                       capture_output=True, text=True, timeout=900)
-    sys.stderr.write(r.stderr)
+    # 3. parity artifact (never hurts the headline)
+    _stage(["--parity"], timeout=1500, retries=0)
 
 
 if __name__ == "__main__":
     if "--sweep" in sys.argv:
+        _enable_cache()
+        import jax
+
         log(f"devices: {jax.devices()}")
         _emit(bench_sweep(batch=int(sys.argv[sys.argv.index("--sweep") + 1]),
                           reps=3))
     elif "--canonical" in sys.argv:
+        _enable_cache()
         bench_canonical()
+    elif "--parity" in sys.argv:
+        _enable_cache()
+        bench_parity()
     else:
-        main()
+        sys.exit(main())

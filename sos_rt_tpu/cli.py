@@ -221,37 +221,44 @@ def cmd_critical_albedo(args):
 
 
 def cmd_sweep(args):
-    import jax
-    import jax.numpy as jnp
+    """Batched column sweep — the BASELINE config-5 headline workload.
 
-    from sos_rt_tpu.parallel import broadcast_scene, make_mesh, solve_batch
+    Defaults reproduce the headline benchmark path outside bench.py
+    (VERDICT r2 item 6): mega engine, summary outputs, µ0 drawn from a
+    64-value pool for sweep presets.  With ``--chunk`` + ``--output DIR``
+    results are written as resumable per-chunk shards (``--resume``
+    skips completed ones).
+    """
+    import json as _json
+
+    from sos_rt_tpu import sweep as _sweep
+    from sos_rt_tpu.parallel import make_mesh
     from sos_rt_tpu.presets import get_preset
 
     p = get_preset(args.preset)
     batch = args.batch or p.batch or 1024
-    scenes = broadcast_scene(p.scene, batch)
-    key = jax.random.PRNGKey(args.seed)
-    k1, k2, k3 = jax.random.split(key, 3)
-    scenes = dataclasses.replace(
-        scenes,
-        grd_alb=jax.random.uniform(k1, (batch,), maxval=0.9),
-        tau_star_aer=jax.random.uniform(k2, (batch,), minval=0.01, maxval=0.4),
-        alb_aer=jax.random.uniform(k3, (batch,), minval=0.7, maxval=1.0))
-    tables = _build(p, p.opts.dtype)
+    engine = args.engine or ("mega" if p.batch else "reference")
+    outputs = "full" if (args.full or engine != "mega") else "summary"
+    mu0_pool = args.mu0_pool if args.mu0_pool is not None else (
+        64 if p.batch else 0)
     mesh = make_mesh() if args.mesh else None
-    t0 = time.perf_counter()
-    sol = solve_batch(scenes, tables, p.grid, p.opts, mesh=mesh)
-    jax.block_until_ready(sol.i_total)
-    dt = time.perf_counter() - t0
-    print(f"[sos] {batch} columns in {dt:.2f}s "
-          f"({batch/dt:,.0f} col/s); max orders {int(jnp.max(sol.n_orders))}",
-          file=sys.stderr)
-    if args.output:
-        np.savez_compressed(args.output,
-                            n_orders=np.asarray(sol.n_orders),
-                            i_toa_up=np.asarray(sol.i_total[:, 0, :]),
-                            i_surface_down=np.asarray(sol.i_total[:, -1, :]))
-        print(f"[sos] wrote {args.output}", file=sys.stderr)
+    # --output without --chunk = one shard covering the whole batch
+    chunk = args.chunk or (batch if args.output else 0)
+    log = lambda m: print(f"[sos] {m}", file=sys.stderr)
+    m = _sweep.run_sweep(
+        p, batch, seed=args.seed, mu0_pool=mu0_pool, engine=engine,
+        outputs=outputs, buckets=args.buckets, block_b=args.block_b,
+        chunk=chunk, out_dir=args.output,
+        resume=args.resume, mesh=mesh, log=log)
+    m["preset"], m["batch_requested"] = args.preset, batch
+    if "col_per_s" in m:
+        log(f"{batch} columns: {m.get('wall_s', 0):.2f}s "
+            f"({m['col_per_s']:,.0f} col/s), engine={engine}/{outputs}")
+    print(_json.dumps({"sweep_metrics": m}), flush=True)
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            _json.dump(m, f, indent=2)
+        log(f"wrote {args.metrics}")
 
 
 def cmd_list(_args):
@@ -294,9 +301,26 @@ def main(argv=None):
     sw.add_argument("--preset", default="fwc_sweep")
     sw.add_argument("--batch", type=int)
     sw.add_argument("--seed", type=int, default=0)
+    sw.add_argument("--engine", choices=["reference", "fused", "mega"],
+                    help="solver engine (default: mega for sweep presets)")
+    sw.add_argument("--full", action="store_true",
+                    help="keep full (B, L, 2M) fields instead of "
+                         "TOA/surface summary rows")
+    sw.add_argument("--mu0-pool", type=int, dest="mu0_pool",
+                    help="draw per-column mu0 from N distinct values "
+                         "(default 64 for sweep presets; 0 = fixed mu0)")
+    sw.add_argument("--buckets", type=int, default=1,
+                    help="convergence-homogeneous bucketing")
+    sw.add_argument("--block-b", type=int, default=16, dest="block_b")
+    sw.add_argument("--chunk", type=int, default=0,
+                    help="columns per resumable shard (with --output DIR)")
+    sw.add_argument("--resume", action="store_true",
+                    help="skip shards already in --output/index.json")
+    sw.add_argument("--metrics", help="write aggregated metrics JSON here")
     sw.add_argument("--mesh", action="store_true",
                     help="shard over all visible devices")
-    sw.add_argument("--output", "-o")
+    sw.add_argument("--output", "-o",
+                    help="shard output DIRECTORY (npz shards + index.json)")
     sw.set_defaults(fn=cmd_sweep)
 
     ls = sub.add_parser("list", help="list presets and models")

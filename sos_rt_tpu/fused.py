@@ -441,17 +441,20 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return raw.at[:, :, band_cols].set(jnp.where(band_valid, poly, cur))
 
     def order_step(dn_prev, up_prev):
-        jn = source_fn(dn_prev, up_prev)
-        raw = down_p(jn[:, :, :M], pack, mu_down_safe)
-        dn = narrow_down_fixes(raw, jn)
-        surf = dn[:, L - 1, :]
-        if opts.surface == "lambertian":
-            f_down = -jnp.sum(lamb_w * surf, axis=1)
-            bc = jnp.broadcast_to((2.0 * grd * f_down)[:, None], (B, M))
-        else:
-            bc = grd[:, None] * surf[:, mirror_bc]
-            bc = jnp.concatenate([jnp.zeros((B, 1), dtype), bc], axis=1)
-        up = up_p(jn[:, :, M:], pack, cparams, mu_up_row, bc)
+        with jax.named_scope("sos.source_jn"):
+            jn = source_fn(dn_prev, up_prev)
+        with jax.named_scope("sos.down_sweep"):
+            raw = down_p(jn[:, :, :M], pack, mu_down_safe)
+            dn = narrow_down_fixes(raw, jn)
+        with jax.named_scope("sos.up_sweep_bc"):
+            surf = dn[:, L - 1, :]
+            if opts.surface == "lambertian":
+                f_down = -jnp.sum(lamb_w * surf, axis=1)
+                bc = jnp.broadcast_to((2.0 * grd * f_down)[:, None], (B, M))
+            else:
+                bc = grd[:, None] * surf[:, mirror_bc]
+                bc = jnp.concatenate([jnp.zeros((B, 1), dtype), bc], axis=1)
+            up = up_p(jn[:, :, M:], pack, cparams, mu_up_row, bc)
         return dn, up
 
     tol = jnp.asarray(opts.tol, dtype)

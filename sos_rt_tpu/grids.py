@@ -34,6 +34,11 @@ def tau_profile(tau_star_atm, tau_star_aer, z0, z_up, z_down, nb_layers: int):
     full column plus a linear aerosol ramp inside [idx_up, idx_down] and a
     constant ``tau_star_aer`` offset below.  Branchless (jnp.where) so it is
     jit/vmap-safe with traced scene parameters.
+
+    Invariant: with z_down > 0 (every supported scene places the aerosol
+    layer above the surface), idx_down <= nb_layers - 2 — the first-order
+    closed forms gather tau[idx_down + 1] and treat the surface layer as
+    pure-atm region C (ops/first_order.py), which relies on this.
     """
     idx_up, idx_down = layer_indices(z0, z_up, z_down, nb_layers)
     i = jnp.arange(nb_layers)

@@ -160,9 +160,14 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
     att_b_dn = _clamp_exp((tau[:, None] - tr_b_dn) / mu_m[None, :])
     att_s_dn = _clamp_exp((tau[:, None] - tr_s_dn) / mu_m[None, :])
 
+    # resonance-safe denominator: at |µ+µ0| < tol the direct term is
+    # replaced by its linear-in-τ limit below, but the raw division would
+    # still emit inf·0 = NaN in the discarded branch (jax_debug_nans gate)
+    den_dn = jnp.where(res_dn[0], 1.0, mu0 + mu_m)
+
     def down_vals(att_b, att_s, tau_col, tr_b, e0r, esr, e0_col, es0_col,
                   p0d, p0m, sck_sel=None, row_sel=None):
-        direct = ((mu0 / (mu0 + mu_m))[None, :] * p0d / (4 * jnp.pi) * f0
+        direct = ((mu0 / den_dn)[None, :] * p0d / (4 * jnp.pi) * f0
                   * (e0_col - e0r * att_b))
         d_res = (p0d / (4 * jnp.pi) * f0 * e0_col
                  * (tau_col - tr_b) / mu0)
@@ -249,13 +254,15 @@ def first_order(surface, tau, mu, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
     att_b_up = _clamp_exp(-(tr_b_up - tau[:, None]) / mu_u[None, :])
     att_s_up = _clamp_exp(-(tr_s_up - tau[:, None]) / mu_u[None, :])
 
+    den_up = jnp.where(res_up[0], 1.0, mu0 - mu_u)   # resonance-safe (µ=µ0)
+
     def up_vals(att_b, att_s, tau_col, tr_s, e0r, esr, e0_col, es0_col,
                 p0d, p0m, ts_exp=None, sck_sel=None, row_sel=None,
                 pk_sel=None):
         direct = ((mu0 / (mu0 + mu_u))[None, :] * p0d / (4 * jnp.pi) * f0
                   * (e0_col - e0r * att_b))
         if surface == "specular":
-            surf = ((mu0 / (mu0 - mu_u))[None, :] * p0m / (4 * jnp.pi)
+            surf = ((mu0 / den_up)[None, :] * p0m / (4 * jnp.pi)
                     * (f0 * rho * es) * (es0_col - esr * att_s))
             s_res = (p0m / (4 * jnp.pi) * (f0 * rho * es) * es0_col
                      * (tr_s - tau_col) / mu0)
@@ -420,9 +427,13 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
     mirror_up = 2 * M - 1 - mue
     c4pi = f0 / (4 * jnp.pi)                                 # (B, 1)
 
-    # down direct: rows 0..M-2 ratio µ0/(µ0+µ), row M-1 (µ=0) ratio 1
+    # down direct: rows 0..M-2 ratio µ0/(µ0+µ), row M-1 (µ=0) ratio 1;
+    # resonance-safe denominator (the limit replaces the value, but the
+    # raw division would emit NaN under the jax_debug_nans gate)
+    res_m = jnp.abs(mu_m[None, :] + mu0) < MU0_RESONANCE_TOL
     ratio_dn = jnp.concatenate(
-        [mu0 / (mu0 + mu_m[None, :]), jnp.ones((B, 1), dtype)], axis=1)
+        [mu0 / jnp.where(res_m, 1.0, mu0 + mu_m[None, :]),
+         jnp.ones((B, 1), dtype)], axis=1)
     dd = lambda p0: (ratio_dn * p0[:, :M] * c4pi).T          # (M, B)
     db = lambda p0: (p0[:, :M] * c4pi / mu0).T
     res_dn = jnp.concatenate(
@@ -507,8 +518,10 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
             [mu0 / (mu0 - mu_m[None, :]), jnp.ones((B, 1), dtype)], axis=1)
         p0m_dn = lambda p0: jnp.concatenate(
             [p0[:, 2 * M - 1 - md], p0[:, M:M + 1]], axis=1)
+        res_u = jnp.abs(mu_u[None, :] - mu0) < MU0_RESONANCE_TOL
         rm_up = jnp.concatenate(
-            [jnp.ones((B, 1), dtype), mu0 / (mu0 - mu_u[None, :])], axis=1)
+            [jnp.ones((B, 1), dtype),
+             mu0 / jnp.where(res_u, 1.0, mu0 - mu_u[None, :])], axis=1)
         p0m_up = lambda p0: jnp.concatenate(
             [p0[:, M - 1:M], p0[:, mirror_up]], axis=1)
         tiles = tiles.at[T_DMA].set((rm_dn * p0m_dn(p0_atm) * frs).T)
@@ -531,11 +544,11 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
         att_s = _clamp_exp((tau_r - tr_s) / mu_m[None, :])
         e0_r = e0_of(tau_r)
         p0d = ca * p0_atm[:, :M - 1] + cr * p0_aer[:, :M - 1]
-        direct = (mu0 / (mu0 + mu_m[None, :])) * p0d * c4pi * (
-            e0_r - e0r * att_b)
+        res = jnp.abs(mu_m[None, :] + mu0) < MU0_RESONANCE_TOL
+        direct = (mu0 / jnp.where(res, 1.0, mu0 + mu_m[None, :])) \
+            * p0d * c4pi * (e0_r - e0r * att_b)
         d_res = p0d * c4pi * e0_r * (tau_r - tr_b) / mu0
-        direct = jnp.where(jnp.abs(mu_m[None, :] + mu0) < MU0_RESONANCE_TOL,
-                           d_res, direct)
+        direct = jnp.where(res, d_res, direct)
         if surface == "lambertian":
             et_r = ck_of(tau_r)                              # (B, M)
             row = (ca * _dot(et_r, a_dn_atm[:M - 1].T)
@@ -573,11 +586,11 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
         else:
             p0m = ca * p0_atm[:, mirror_up] + cr * p0_aer[:, mirror_up]
             esr = jnp.exp(-(tau_star - tr_s) / mu0)
-            surf = ((mu0 / (mu0 - mu_u[None, :])) * p0m * frs
-                    * (es0_r - esr * att_s))
+            res = jnp.abs(mu_u[None, :] - mu0) < MU0_RESONANCE_TOL
+            surf = ((mu0 / jnp.where(res, 1.0, mu0 - mu_u[None, :]))
+                    * p0m * frs * (es0_r - esr * att_s))
             s_res = p0m * frs * es0_r * (tr_s - tau_r) / mu0
-            surf = jnp.where(
-                jnp.abs(mu_u[None, :] - mu0) < MU0_RESONANCE_TOL, s_res, surf)
+            surf = jnp.where(res, s_res, surf)
         return direct + surf                                 # (B, M-1)
 
     one_b = jnp.ones_like(tau_star)
@@ -593,7 +606,11 @@ def first_order_mega_inputs(surface, tau, mu, nb_angles, mu0, grd_alb,
     tiles = tiles.at[T_ROWA].set(pad_last(row_a))
     tiles = tiles.at[T_ROWB].set(pad_last(row_b))
 
-    # surface BC from the full downward row at τ* (general + µ=0 col)
+    # surface BC from the full downward row at τ* (general + µ=0 col).
+    # The pure-atm coefficients (alb_atm, zero) are valid only under the
+    # idx_down <= L-2 invariant (aerosol layer strictly above the surface
+    # layer, guaranteed by grids.tau_profile's z_down > 0 clamp) — the
+    # tau[idx_down+1] gathers above rely on it too (ADVICE r2).
     dn_surf = dn_at(tau_star, tau_id, e0_of(tau_id), tau_id1,
                     alb_atm, zero_b) + row_b * _clamp_exp(
         (tau_star - tau_id) / mu_m[None, :])

@@ -97,7 +97,14 @@ def _down_kernel(pack_ref, mu_ref, jn_ref, out_ref, att_ref):
 
 def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 16,
                       interpret: bool = False):
-    """jn_down: (B, L, Md); pack: (B, L, 8); mu_down_safe: (Md,), µ=0→-1."""
+    """jn_down: (B, L, Md); pack: (B, L, 8); mu_down_safe: (Md,), µ=0→-1.
+
+    NOTE: on the compiled path ``block_b`` is clamped to
+    ``MAX_COMPILED_BLOCK_B`` (16) — larger blocks exceed the scoped-VMEM
+    budget (see the constant's comment).  Callers tuning block sizes
+    (solve_batch(engine='fused', block_b=...)) should expect requests
+    above the clamp to compile at 16.
+    """
     b, L, md = jn_down.shape
     assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
     if not interpret:

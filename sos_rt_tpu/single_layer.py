@@ -154,8 +154,13 @@ def solve_single_layer(mu0, tau_star, tables, grid: GridSpec,
     K = opts.max_orders
 
     def ratio_of(in_new, i_tot):
-        r_toa = jnp.max(in_new[0, M:] / i_tot[0, M:])
-        r_srf = jnp.max(in_new[-1, :M] / i_tot[-1, :M])
+        # zero-guard: degenerate scenes (ω=0, zero phase-table entries at
+        # a TOA/surface angle) would otherwise make the ratio inf/NaN and
+        # poison convergence (ADVICE r2); treat 0/0 as converged (0)
+        div = lambda a, b: jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0),
+                                     0.0)
+        r_toa = jnp.max(div(in_new[0, M:], i_tot[0, M:]))
+        r_srf = jnp.max(div(in_new[-1, :M], i_tot[-1, :M]))
         return jnp.maximum(r_toa, r_srf)
 
     buf = jnp.zeros((K, L, 2 * M), dtype).at[0].set(i1)
@@ -172,7 +177,9 @@ def solve_single_layer(mu0, tau_star, tables, grid: GridSpec,
         n = n + jnp.where(active, 1, 0)
         return in_new, i_tot, ratio, n, buf, valid
 
-    ratio0 = ratio_of(jnp.ones_like(i1), i1)
+    # explicit above-tol seed: the loop must take at least one step, and
+    # max(1/I1) would be inf for any zero I1 entry (ADVICE r2)
+    ratio0 = jnp.asarray(2.0 * opts.tol, dtype)
     carry = (i1, i1, ratio0, jnp.asarray(1, jnp.int32), buf, valid)
     _, i_tot, ratio, n, buf, valid = jax.lax.fori_loop(1, K, body, carry)
     return SingleLayerSolution(i_total=i_tot, i_orders=buf,

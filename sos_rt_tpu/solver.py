@@ -135,10 +135,11 @@ def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     w_atm = dtau_atm / (dtau_atm + dtau_aer)
     w_aer = dtau_aer / (dtau_atm + dtau_aer)
 
-    i1 = first_order(opts.surface, tau, mu, M, scene.mu0, scene.grd_alb,
-                     scene.alb_atm, scene.alb_aer, tables.p0_atm,
-                     tables.p_atm, tables.p0_aer, tables.p_aer,
-                     idx_up, idx_down, w_atm, w_aer, w_mu)
+    with jax.named_scope("sos.first_order"):
+        i1 = first_order(opts.surface, tau, mu, M, scene.mu0, scene.grd_alb,
+                         scene.alb_atm, scene.alb_aer, tables.p0_atm,
+                         tables.p_atm, tables.p0_aer, tables.p_aer,
+                         idx_up, idx_down, w_atm, w_aer, w_mu)
 
     a_atm = source_operator(tables.p_atm.astype(dtype), w_mu)
     a_aer = source_operator(tables.p_aer.astype(dtype), w_mu)
@@ -208,11 +209,13 @@ def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     mask_join2 = (t_idx < idx_up)[:, None]
 
     def source_fn(in_prev):
-        jn_atm = (scene.alb_atm / 4.0) * jnp.dot(
-            in_prev, a_atm, precision=MATMUL_PRECISION)
-        jn_aer = (scene.alb_aer / 4.0) * jnp.dot(
-            in_prev, a_aer, precision=MATMUL_PRECISION)
-        return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer, jn_atm)
+        with jax.named_scope("sos.source_jn"):
+            jn_atm = (scene.alb_atm / 4.0) * jnp.dot(
+                in_prev, a_atm, precision=MATMUL_PRECISION)
+            jn_aer = (scene.alb_aer / 4.0) * jnp.dot(
+                in_prev, a_aer, precision=MATMUL_PRECISION)
+            return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer,
+                             jn_atm)
 
     def compute_down(jn):
         jn_d = jn[:, :M]
@@ -265,8 +268,10 @@ def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
 
     def order_step(in_prev):
         jn = source_fn(in_prev)
-        down = compute_down(jn)
-        up = compute_up(jn, down)
+        with jax.named_scope("sos.down_sweep"):
+            down = compute_down(jn)
+        with jax.named_scope("sos.up_sweep_bc"):
+            up = compute_up(jn, down)
         return jnp.concatenate([down[:, :M], up[:, M:]], axis=1)
 
     return i1, order_step, tau, idx_up, idx_down

@@ -58,13 +58,21 @@ def chandrasekhar_h(mu, omega: float, n_quad: int = 256,
     # 0.5-damped iteration: the undamped map oscillates for ω→1 (the
     # conservative case); damping restores contraction (≈40 iterations
     # to 1e-13 at ω=1, verified against H(1)=2.9078 and exact moments).
+    converged = False
     for _ in range(iters):
         integ = (0.5 * omega) * ((w * g * h)[None, :] / denom).sum(axis=1)
         h_new = 0.5 * (h + 1.0 / (s + integ))
         if np.max(np.abs(h_new - h)) < tol:
             h = h_new
+            converged = True
             break
         h = h_new
+    if not converged:
+        # this function is the external validation oracle — a silent
+        # non-converged result would quietly weaken the anchor (ADVICE r2)
+        raise RuntimeError(
+            f"chandrasekhar_h: fixed point not converged to {tol} in "
+            f"{iters} iterations (omega={omega})")
     integ_mu = (0.5 * omega) * ((w * g * h)[None, :]
                                 / (mu[:, None] + g[None, :])).sum(axis=1)
     return 1.0 / (s + integ_mu)

@@ -49,10 +49,15 @@ def test_sweep_cmd(tmp_path, monkeypatch):
         presets.PRESETS["fwc_sweep"], grid=GridSpec(nb_angles=31, nb_layers=48),
         opts=SolverOptions(surface="lambertian", dtype="float64", max_orders=40))
     monkeypatch.setitem(presets.PRESETS, "fwc_sweep", small)
-    out = str(tmp_path / "sweep.npz")
-    main(["sweep", "--preset", "fwc_sweep", "--batch", "8", "-o", out])
-    with np.load(out) as z:
-        assert z["n_orders"].shape == (8,)
+    out = str(tmp_path / "sweepdir")
+    main(["sweep", "--preset", "fwc_sweep", "--batch", "8",
+          "--mu0-pool", "2", "-o", out])
+    from sos_rt_tpu.sweep import load_sweep
+
+    res = load_sweep(out)
+    assert res["n_orders"].shape == (8,)
+    assert res["i_toa"].shape == (8, 62)
+    assert np.isfinite(res["i_toa"]).all()
 
 
 def test_list_cmd(capsys):

@@ -1,0 +1,75 @@
+"""Resumable sweep shards (SURVEY.md §5 checkpoint/resume row) + metrics."""
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import sos_rt_tpu.presets as presets
+from sos_rt_tpu.config import GridSpec, SolverOptions
+from sos_rt_tpu.sweep import build_sweep_batch, load_sweep, run_sweep
+
+
+@pytest.fixture()
+def small_preset():
+    return dataclasses.replace(
+        presets.PRESETS["fwc_sweep"],
+        grid=GridSpec(nb_angles=32, nb_layers=48),
+        opts=SolverOptions(surface="lambertian", dtype="float32",
+                           max_orders=40))
+
+
+def test_build_sweep_batch_deterministic(small_preset):
+    s1, t1 = build_sweep_batch(small_preset, 8, seed=3, mu0_pool=4)
+    s2, t2 = build_sweep_batch(small_preset, 8, seed=3, mu0_pool=4)
+    np.testing.assert_array_equal(np.asarray(s1.mu0), np.asarray(s2.mu0))
+    np.testing.assert_array_equal(np.asarray(s1.grd_alb),
+                                  np.asarray(s2.grd_alb))
+    np.testing.assert_array_equal(np.asarray(t1.p0_atm), np.asarray(t2.p0_atm))
+    assert np.asarray(t1.p0_atm).shape[0] == 8      # gathered per column
+
+
+def test_kill_and_resume(tmp_path, small_preset):
+    """A sweep killed mid-run resumes from its shards: completed chunks
+    are not recomputed, and the merged result equals a one-shot run."""
+    out = str(tmp_path / "sw")
+    m1 = run_sweep(small_preset, 8, seed=1, mu0_pool=2, engine="fused",
+                   outputs="full", chunk=4, out_dir=out,
+                   stop_after_chunks=1)
+    assert m1["n_completed"] == 1 and not m1["complete"]
+    shard0 = os.path.join(out, "shard_00000.npz")
+    mtime0 = os.path.getmtime(shard0)
+
+    m2 = run_sweep(small_preset, 8, seed=1, mu0_pool=2, engine="fused",
+                   outputs="full", chunk=4, out_dir=out, resume=True)
+    assert m2["complete"] and m2["n_completed"] == 2
+    assert os.path.getmtime(shard0) == mtime0       # chunk 0 not recomputed
+
+    res = load_sweep(out)
+    out2 = str(tmp_path / "oneshot")
+    run_sweep(small_preset, 8, seed=1, mu0_pool=2, engine="fused",
+              outputs="full", chunk=8, out_dir=out2)
+    ref = load_sweep(out2)
+    np.testing.assert_allclose(res["i_toa"], ref["i_toa"], rtol=1e-6)
+    np.testing.assert_array_equal(res["n_orders"], ref["n_orders"])
+
+
+def test_resume_spec_mismatch_raises(tmp_path, small_preset):
+    out = str(tmp_path / "sw")
+    run_sweep(small_preset, 8, seed=1, mu0_pool=2, engine="fused",
+              outputs="full", chunk=4, out_dir=out, stop_after_chunks=1)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        run_sweep(small_preset, 8, seed=2, mu0_pool=2, engine="fused",
+                  outputs="full", chunk=4, out_dir=out, resume=True)
+
+
+def test_metrics_fields(small_preset):
+    m = run_sweep(small_preset, 8, seed=0, mu0_pool=2, engine="fused",
+                  outputs="full")
+    for key in ("batch", "orders_max", "orders_mean", "n_converged",
+                "wall_s", "col_per_s", "col_per_s_per_chip"):
+        assert key in m, key
+    assert m["batch"] == 8
+    assert m["n_converged"] == 8
+    assert json.dumps(m)                           # JSON-serializable
