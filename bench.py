@@ -83,7 +83,8 @@ def _sweep_inputs(batch: int):
     return scenes, tables, grid
 
 
-def bench_sweep(batch=32768, reps=4, buckets=1, engine="mega", block_b=64):
+def bench_sweep(batch=65536, reps=4, buckets=1, engine="mega", block_b=64,
+                cols_per_block=256):
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +99,8 @@ def bench_sweep(batch=32768, reps=4, buckets=1, engine="mega", block_b=64):
     def run(i):
         sc = dataclasses.replace(scenes, grd_alb=scenes.grd_alb + i * 1e-7)
         sol = solve_batch(sc, tables, grid, opts, buckets=buckets,
-                          engine=engine, block_b=block_b, outputs=outputs)
+                          engine=engine, block_b=block_b, outputs=outputs,
+                          cols_per_block=cols_per_block)
         i_toa = sol.i_toa if outputs == "summary" else sol.i_total[:, 0, :]
         chk = float(jnp.sum(i_toa))     # forces the whole dispatch queue
         stats = (int(jnp.max(sol.n_orders)),
@@ -221,7 +223,7 @@ def main():
     _stage(["--canonical"], timeout=720, retries=1)
     # 2. headline sweep: batch ladder, generous per-attempt timeout
     emitted = False
-    for batch in (32768, 32768, 16384, 8192):
+    for batch in (65536, 65536, 32768, 8192):
         r = _stage(["--sweep", str(batch)], timeout=1800, retries=0)
         if r is not None:
             line = (r.stdout.strip().splitlines() or [""])[-1]

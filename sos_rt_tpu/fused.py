@@ -67,7 +67,8 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      opts: SolverOptions, cols_per_block: int | None = None,
                      interpret: bool | None = None, sort: bool = True,
                      mm: str | None = None, ablate: str = "",
-                     outputs: str = "full", i1: str = "kernel"):
+                     outputs: str = "full", i1: str = "kernel",
+                     allow_small: bool = False):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
@@ -90,6 +91,12 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     closed form materializing (B, L, 2M) half-fields in HBM; kept for
     ablation and as the Solution.i1 provider).  With i1='kernel' and
     outputs='full', Solution.i1 is None.
+
+    ``allow_small`` asserts that every column's µ→0⁻ polyfit band covers
+    the grid's small-µ columns, making the windowed/Taylor machinery
+    provably dead (see megakernel.py scope note) — verified eagerly by
+    sos_rt_tpu.parallel.mesh.mega_small_ok; without it, grids with
+    small-µ columns fall back to the fused path.
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -98,7 +105,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     stencils = build_stencils(grid.mu(), grid.nb_angles)
-    if not mk.mega_supported(grid, stencils):
+    if not mk.mega_supported(grid, stencils, allow_small=allow_small):
         sol = solve_batch_fused(scenes, tables, grid, opts)
         if outputs == "summary":
             sol = SweepSummary(i_toa=sol.i_total[:, 0, :],
@@ -120,21 +127,49 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         sol = solve_batch_mega(scenes, tables, grid, opts,
                                cols_per_block=cols_per_block,
                                interpret=interpret, sort=False,
-                               mm=mm, ablate=ablate, outputs=outputs, i1=i1)
+                               mm=mm, ablate=ablate, outputs=outputs, i1=i1,
+                               allow_small=allow_small)
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
     if mm is None:
         mm = "bf16x3" if dtype == jnp.float32 else "highest"
     L, M = grid.nb_layers, grid.nb_angles
+    MP = mk.pad_angles(M)
     mu = jnp.asarray(grid.mu(), dtype)
     w_mu_np = np.asarray(grid.trapz_weights(), np.float64)
     w_mu = jnp.asarray(w_mu_np, dtype)
     B = jnp.shape(jnp.asarray(scenes.mu0))[0]
     if cols_per_block is None:
-        # compiled lane slices index at multiples of C — keep it one tile
-        cols_per_block = min(B, 64) if interpret else 128
+        if interpret:
+            cols_per_block = min(B, 64)
+        else:
+            # VMEM-aware block size: 8 whole-field scratch planes of
+            # (L, MP, C) f32 must fit comfortably (~90 MB leaves room
+            # for the padded operators); one full lane tile when it fits
+            budget = 90e6
+            fit = int(budget / (L * MP * 4 * 8))
+            cols_per_block = max(4, min(128, 1 << max(0, fit.bit_length() - 1)))
     C = min(cols_per_block, B) if interpret else cols_per_block
+    if not interpret:
+        # Compiled-path viability: blocked lane dims must be multiples
+        # of 128 (Mosaic) and narrow blocks waste ≥75% of each vreg —
+        # grids whose whole field cannot fit VMEM at C ≥ 32 (e.g. the
+        # canonical 501×800 at ANY C: 800·504·C·4·8 planes) stream
+        # through the fused path instead.  The canonical-grid batched
+        # roofline is matmul-bound (~10 GFLOP/col/order) either way —
+        # see BASELINE.md.
+        g_ok = [d for d in (16, 8, 4, 2, 1)
+                if L % d == 0 and d * C <= 1024 and (d * C) % 128 == 0]
+        if C < 32 or not g_ok:
+            sol = solve_batch_fused(scenes, tables, grid, opts)
+            if outputs == "summary":
+                sol = SweepSummary(
+                    i_toa=sol.i_total[:, 0, :],
+                    i_surface=sol.i_total[:, -1, :],
+                    n_orders=sol.n_orders, converged=sol.converged,
+                    tau=sol.tau, idx_up=sol.idx_up, idx_down=sol.idx_down)
+            return sol
     pad = (-B) % C
     if pad:
         scenes = jax.tree_util.tree_map(
@@ -153,7 +188,12 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                                       (pad,) + tables.p0_aer.shape[1:])]))
     Bp = B + pad
     nblk = Bp // C
-    G = next(d for d in (8, 4, 2, 1) if L % d == 0)
+    # layers per chunk: fill the lane tile without exceeding ~1024 lanes
+    # or unrolling too far (the pass bodies unroll over G in Python);
+    # compiled blocks need (G·C) % 128 == 0 (checked viable above)
+    G = next(d for d in (16, 8, 4, 2, 1)
+             if L % d == 0 and d * C <= 1024
+             and (interpret or (d * C) % 128 == 0))
     NG = L // G
 
     tau, idx_up, idx_down = jax.vmap(
@@ -199,14 +239,16 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return x.transpose(0, 2, 1, 3).reshape(NG, nblk * G * C)
 
     def half_to_lanes(x_lbm):
-        """(L, B, M) → (NG, M, G·B) angle-major half field."""
-        x = x_lbm.reshape(NG, G, nblk, C, M)
-        return x.transpose(0, 4, 2, 1, 3).reshape(NG, M, nblk * G * C)
+        """(L, B, M) → (NG, MP, G·B) angle-major half field (angle pad)."""
+        if MP != M:
+            x_lbm = jnp.pad(x_lbm, ((0, 0), (0, 0), (0, MP - M)))
+        x = x_lbm.reshape(NG, G, nblk, C, MP)
+        return x.transpose(0, 4, 2, 1, 3).reshape(NG, MP, nblk * G * C)
 
     def half_from_lanes(x):
-        """(NG, M, G·B) → (B, L, M)."""
-        y = x.reshape(NG, M, nblk, G, C)
-        return y.transpose(2, 4, 0, 3, 1).reshape(Bp, L, M)
+        """(NG, MP, G·B) → (B, L, M) (angle pad stripped)."""
+        y = x.reshape(NG, MP, nblk, G, C)
+        return y.transpose(2, 4, 0, 3, 1).reshape(Bp, L, MP)[:, :, :M]
 
     # ---- pack rows (L, B) → (NG, PK_W, G·B) ----
     t_idx = jnp.arange(L)[:, None]
@@ -264,6 +306,12 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                                     w_mu_np, dtype, mm)
 
     if i1 == "kernel":
+        if MP != M:            # angle-pad the in-kernel I₁ inputs
+            i1_tiles = jnp.pad(i1_tiles, ((0, 0), (0, MP - M), (0, 0)))
+            colc_pk = jnp.pad(colc_pk, ((0, 0), (0, MP - M)))
+            if astack is not None:
+                astack = mk._pad_blocks(jnp.asarray(astack, dtype),
+                                        M, MP, 4, 1)
         if astack is None:     # specular: no surface-integral operator
             zsplit = (jnp.zeros((1, 1), dtype),) * 2
             astk = zsplit
@@ -283,8 +331,9 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             cols_per_block=C, mm=mm, interpret=interpret, ablate=ablate,
             summary=True, **call_kw)
         return SweepSummary(
-            i_toa=jnp.concatenate([toadn.T, toaup.T], axis=1)[:B],
-            i_surface=jnp.concatenate([srfdn.T, srfup.T], axis=1)[:B],
+            i_toa=jnp.concatenate([toadn[:M].T, toaup[:M].T], axis=1)[:B],
+            i_surface=jnp.concatenate([srfdn[:M].T, srfup[:M].T],
+                                      axis=1)[:B],
             n_orders=stats[mk.ST_N, :B].astype(jnp.int32),
             converged=stats[mk.ST_CONV, :B] > 0.5,
             tau=tau[:B], idx_up=idx_up[:B], idx_down=idx_down[:B])

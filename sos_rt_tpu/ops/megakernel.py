@@ -48,10 +48,20 @@ between t₀ and t, so the exponential is maintained as a running
 product of per-step attenuations (q ← q·a_t) and d is captured from
 the smoothing delta at the join layer itself.
 
-Scope: grids whose |µ| < MU_THRESHOLD set is empty (nb_angles ≤ 101,
-spacing ≥ 0.01 — the production sweep grids), band_max ≤ 32, uniform
-up-µ spacing, and nb_angles % 8 == 0 (sublane tiling).  The general
-path (sos_rt_tpu/fused.py / solver.py) covers everything else.
+Scope (r3 — extended to the canonical grid): band_max ≤ 32 and uniform
+up-µ spacing.  Any angle count is supported — the angle axis is padded
+to a multiple of 8 (sublane tiling) with inert rows (zero operators,
+unit attenuations; `nb_angles` stays the REAL count for masks, the
+smoothing-walk bounds and the convergence rows).  Grids with |µ| <
+MU_THRESHOLD columns (e.g. the reference's 501-angle production grid,
+SOS_Aer_main_lambertian.py:57) are supported WHEN every column's µ→0⁻
+polyfit band covers the small-µ set: the band extrapolation overwrites
+those columns in the reference path too (main_lambertian.py:344-349 —
+at the canonical τ* the band width is 10 ≥ the 4 small columns), so the
+windowed/Taylor machinery is provably dead there and the kernel output
+is identical.  The eager check lives in
+sos_rt_tpu.parallel.mesh.mega_small_ok; columns that fail it (τ_ref ≤
+0.0625 → band 2) fall back to the fused path.
 
 Per-column results are identical (up to matmul accumulation order and
 exp-product reassociation) to ``sos_rt_tpu.solver.solve_column``; see
@@ -130,10 +140,11 @@ def _dot3(hi_ref, lo_ref, x, *, mm: str, dtype):
 
 
 def _smooth_up(v, rowf, m: int):
-    """µ→0⁺ smoothing walk on an up-half tile (M, N), angles on sublanes.
+    """µ→0⁺ smoothing walk on an up-half tile (M_pad, N), angles on
+    sublanes; ``m`` is the REAL angle count (rows ≥ m are inert pads).
 
     Replicates ops/sweeps.py::smooth_up_rows (main_lambertian.py:405-411):
-    walk rows 1..M-3 (µ indices m+1..2M-3) for the first second
+    walk rows 1..m-3 (µ indices m+1..2m-3) for the first second
     difference ≤ 1e-4, blend rows (0, idx) linearly in µ between v[0]
     and v[idx].  The blend weight µ_k/µ_idx is evaluated closed-form as
     k/idx — exact for the reference's uniform up-µ grid
@@ -144,9 +155,9 @@ def _smooth_up(v, rowf, m: int):
     v1 = pltpu.roll(v, M - 1, 0)     # v1[l] = v[l+1] (wrap masked below)
     v2 = pltpu.roll(v, M - 2, 0)
     d = jnp.abs(v - 2.0 * v1 + v2)
-    ok = (d <= SMOOTH_TOL) & (rowf >= 1.0) & (rowf <= M - 3)
+    ok = (d <= SMOOTH_TOL) & (rowf >= 1.0) & (rowf <= m - 3)
     first = jnp.min(jnp.where(ok, rowf, BIGF), axis=0, keepdims=True)
-    idxf = jnp.minimum(first, M - 3) + 1.0
+    idxf = jnp.minimum(first, m - 3) + 1.0
     onehot = (rowf == idxf).astype(v.dtype)
     i_val = jnp.sum(v * onehot, axis=0, keepdims=True)
     base = v[0:1, :]
@@ -193,7 +204,8 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
          fdn_ref, fup_ref) = rest
     ab = frozenset(ablate.split(",")) if ablate else frozenset()
     SLOT = wall_hi.shape[0] // 4      # polyfit band slots (see slot_for)
-    NG, M, GC = fdn_ref.shape
+    NG, M, GC = fdn_ref.shape         # M = PADDED angle count (mult of 8)
+    mr = nb_angles                    # REAL angle count (rows ≥ mr inert)
     dtype = fdn_ref.dtype
     C = cpar_ref.shape[1]          # columns per block
     G = GC // C                    # layers per chunk
@@ -201,8 +213,9 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     rowf_c = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0).astype(dtype)
     row0_c = rowf_c < 0.5                       # µ=0⁺ row mask (M, C)
     corr_c = (rowf_c >= 0.5).astype(dtype)      # up rows 1..M-1
+    real_c = rowf_c < mr - 0.5                  # non-pad rows (M, C)
     rowf_g = jax.lax.broadcasted_iota(jnp.int32, (M, GC), 0).astype(dtype)
-    lastrow_g = rowf_g > M - 1.5                # µ=0⁻ row of the down half
+    lastrow_g = rowf_g > mr - 1.5     # µ=0⁻ row of the down half + pads
 
     emu_dn = colc_ref[RC_EMU_DN, :, 0:1]        # (M, 1)
     emu_up = colc_ref[RC_EMU_UP, :, 0:1]
@@ -224,7 +237,7 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
         constc = cpar_ref[CP_CONST:CP_CONST + 1, :]          # (1, C)
         pka = colc_ref[RC_PKA, :, 0:1]                       # (M, 1)
         pkr = colc_ref[RC_PKR, :, 0:1]
-        lastrow_c = rowf_c > M - 1.5                         # µ=0⁻ row mask
+        lastrow_c = rowf_c > mr - 1.5               # µ=0⁻ row + pad rows
         til = lambda i: tiles_ref[i]                         # (M, C)
 
         def i1_block(pk, eout, et, sl):
@@ -320,9 +333,13 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     jax.lax.fori_loop(0, NG, pre, 0)
 
     def ratio_rows(new_top, tot_top, new_bot, tot_bot):
-        # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1
-        r_toa = jnp.max(new_top / tot_top, axis=0, keepdims=True)
-        r_srf = jnp.max(new_bot / tot_bot, axis=0, keepdims=True)
+        # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1; pad rows
+        # are 0/0 — mask them out of the max (reference criterion spans
+        # only the real µ grid, main_lambertian.py:311)
+        r_toa = jnp.max(jnp.where(real_c, new_top / tot_top, 0.0),
+                        axis=0, keepdims=True)
+        r_srf = jnp.max(jnp.where(real_c, new_bot / tot_bot, 0.0),
+                        axis=0, keepdims=True)
         return jnp.maximum(r_toa, r_srf)                     # (1, C)
 
     one = jnp.ones((M, C), dtype)
@@ -486,16 +503,39 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     stats_ref[:, :] = st
 
 
-def mega_supported(grid, stencils: SweepStencils) -> bool:
-    """Static eligibility: no small-µ columns, band fits the slots, the
-    up-µ grid is uniform (the in-kernel smoothing walk evaluates its
-    blend weight µ_k/µ_idx closed-form as k/idx), and the angle count
-    tiles sublanes (M % 8 == 0 for the angle-major layout)."""
+def pad_angles(m: int) -> int:
+    """Padded angle count: sublane tiling needs a multiple of 8."""
+    return -(-m // 8) * 8
+
+
+def mega_supported(grid, stencils: SweepStencils,
+                   allow_small: bool = False) -> bool:
+    """Static eligibility: band fits the slots and the up-µ grid is
+    uniform (the in-kernel smoothing walk evaluates its blend weight
+    µ_k/µ_idx closed-form as k/idx).  Any angle count is handled by
+    padding (see module docstring).  Grids with small-µ columns need
+    ``allow_small=True`` — granted by the eager per-column band-coverage
+    check (sos_rt_tpu.parallel.mesh.mega_small_ok)."""
     mu_up = np.asarray(grid.mu(), np.float64)[grid.nb_angles:]
     d = np.diff(mu_up)
     uniform = bool(np.allclose(d, d[0], rtol=1e-12, atol=1e-15))
-    return (stencils.small_cols.size == 0 and stencils.band_max <= SLOT_CAP
-            and uniform and grid.nb_angles % 8 == 0)
+    return ((stencils.small_cols.size == 0 or allow_small)
+            and stencils.band_max <= SLOT_CAP and uniform)
+
+
+def band_covers_small(stencils: SweepStencils, choice: int) -> bool:
+    """True when band variant ``choice`` overwrites every small-µ column
+    (the polyfit band targets are the last ``band`` downward columns,
+    SOS_Aer_In_limit.py:113-141; its source columns never include the
+    small set).  When true for a column's both region choices, the
+    windowed/Taylor small-µ values are provably discarded and the kernel
+    may skip them."""
+    if stencils.small_cols.size == 0:
+        return True
+    band = stencils.bands[choice]
+    m = stencils.nb_angles
+    return (bool(stencils.poly_mask[choice][:band].all()) and band >= 1
+            and int(stencils.small_cols.min()) >= m - band)
 
 
 def _split_bf16(a):
@@ -509,18 +549,23 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
                            w_mu: np.ndarray, dtype, mm: str):
     """Host-built constant matrices for the kernel (angle-major forms).
 
+    All operators are built at the PADDED angle count mp = pad_angles(m)
+    with zero rows/columns beyond the real m — padded field rows stay
+    exactly 0 through every kernel stage (their attenuations are exp(0)=1
+    via zero emu rows, their sources and operator contributions 0).
+
     Returns a dict of arrays; with mm='bf16x3' each matmul operator is
     pre-split into exact bf16 (hi, lo) parts; with mm='highest' hi is
     the f32 operator and lo an (ignored) zero array.
     """
     m = grid.nb_angles
-    m2 = 2 * m
+    mp = pad_angles(m)
     mu = np.asarray(grid.mu(), np.float64)
     slot = slot_for(stencils.band_max)
 
     # polyfit stencil, applied from the left on the down half:
-    # polys = wall_T (4·slot, M) @ fv_dn;  placed = place_T (M, slot) @ band
-    wall_t = np.zeros((4 * slot, m))
+    # polys = wall_T (4·slot, Mp) @ fv_dn;  placed = place_T (Mp, slot) @ band
+    wall_t = np.zeros((4 * slot, mp))
     valid = np.zeros((4, slot))
     for c in range(4):
         b = stencils.bands[c]
@@ -530,32 +575,33 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
             for j in range(6):
                 wall_t[c * slot + i, src[j]] += w[i, j]
         valid[c, :stencils.band_max] = stencils.poly_mask[c].astype(float)
-    place_t = np.zeros((m, slot))
+    place_t = np.zeros((mp, slot))
     for i in range(min(slot, m)):
         place_t[m - 1 - i, i] = 1.0
-    # pvt[c] = placed-row validity (M,) per band choice
-    pvt = (valid @ place_t.T)                        # (4, M)
+    # pvt[c] = placed-row validity (Mp,) per band choice
+    pvt = (valid @ place_t.T)                        # (4, Mp)
 
-    # surface BC: bc_up = grd · (bcmat (M, M) @ fv_dn (M, C))
-    bcmat = np.zeros((m, m))
+    # surface BC: bc_up = grd · (bcmat (Mp, Mp) @ fv_dn (Mp, C))
+    bcmat = np.zeros((mp, mp))
     if surface == "lambertian":
-        # every up row gets -2·Σ_k w_k µ_k fv[k]
-        bcmat[:, :] = (-2.0 * w_mu[:m] * mu[:m])[None, :]
+        # every real up row gets -2·Σ_k w_k µ_k fv[k]
+        bcmat[:m, :m] = (-2.0 * w_mu[:m] * mu[:m])[None, :]
     else:  # specular mirror: up row j ← down row m-1-j (j ≥ 1)
         for j in range(1, m):
             bcmat[j, m - 1 - j] = 1.0
 
-    # per-angle columns (lane-replicated (RC_H, M, 128))
+    # per-angle columns (lane-replicated (RC_H, Mp, 128)); pad rows 0 →
+    # pad attenuations exp(0)=1 and pad fv = -sdn·0 = 0
     mu_dn_safe = np.where(mu[:m] == 0, -1.0, mu[:m])
     mu_up = mu[m:].copy()
     mu_up_safe = np.where(mu_up == 0, 1.0, mu_up)
-    colc = np.zeros((RC_H, m, 128))
-    colc[RC_EMU_DN] = (1.0 / mu_dn_safe)[:, None]
-    colc[RC_EMU_UP] = (-1.0 / mu_up_safe)[:, None]
-    colc[RC_IVDN] = (1.0 / mu_dn_safe)[:, None]
+    colc = np.zeros((RC_H, mp, 128))
+    colc[RC_EMU_DN, :m] = (1.0 / mu_dn_safe)[:, None]
+    colc[RC_EMU_UP, :m] = (-1.0 / mu_up_safe)[:, None]
+    colc[RC_IVDN, :m] = (1.0 / mu_dn_safe)[:, None]
     ivup = 1.0 / mu_up_safe
     ivup[0] = 0.0     # µ=0⁺ row: gs·ivup ≡ 0 → I(µ=0)=Jₙ rides exactly
-    colc[RC_IVUP] = ivup[:, None]
+    colc[RC_IVUP, :m] = ivup[:, None]
 
     if mm == "bf16x3":
         split = _split_bf16
@@ -571,15 +617,29 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     return ops
 
 
+def _pad_blocks(w, m: int, mp: int, row_blocks: int, col_blocks: int):
+    """Zero-pad a block matrix of (row_blocks·m, col_blocks·m) to
+    (row_blocks·mp, col_blocks·mp), keeping each m-block aligned at
+    multiples of mp (the kernel slices halves/species at mp strides)."""
+    if m == mp:
+        return w
+    w = w.reshape(row_blocks, m, col_blocks, m)
+    w = jnp.pad(w, ((0, 0), (0, mp - m), (0, 0), (0, mp - m)))
+    return w.reshape(row_blocks * mp, col_blocks * mp)
+
+
 def stack_source_operator(a_atm, a_aer, nb_angles: int, mm: str, dtype):
-    """Build the (4M, 2M) stacked Jₙ operator W from the two species'
+    """Build the (4Mp, 2Mp) stacked Jₙ operator W from the two species'
     source operators A_s (2M, 2M) with  jₙ = Iₙ₋₁ @ A_s  row-major; the
     angle-major kernel computes  W @ I_full  with output rows
-    [atm_dn; atm_up; aer_dn; aer_up]."""
+    [atm_dn; atm_up; aer_dn; aer_up].  Blocks are zero-padded to the
+    padded angle count so pad field rows neither read nor write."""
     m = nb_angles
+    mp = pad_angles(m)
     wt_atm = jnp.transpose(a_atm)                    # (2M, 2M): J = W·I
     wt_aer = jnp.transpose(a_aer)
     w = jnp.concatenate([wt_atm, wt_aer], axis=0)    # (4M, 2M)
+    w = _pad_blocks(w, m, mp, 4, 2)
     if mm == "bf16x3":
         return _split_bf16(w)
     return jnp.asarray(w, dtype), jnp.zeros((1, 1), dtype)
@@ -603,7 +663,7 @@ def mega_call(pack, cpar, ops, ws, i1dn=None, i1up=None,
     the accumulators never leave VMEM.
     """
     NG, _, GB = pack.shape
-    M = nb_angles
+    M = pad_angles(nb_angles)         # field/operator rows are padded
     C = cols_per_block
     B = cpar.shape[1]
     G = GB // B

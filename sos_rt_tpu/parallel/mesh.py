@@ -100,18 +100,59 @@ def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
 @functools.lru_cache(maxsize=32)
 def _mega_solver(grid: GridSpec, opts: SolverOptions,
                  cols_per_block: Optional[int] = None,
-                 outputs: str = "full"):
+                 outputs: str = "full", allow_small: bool = False):
     """Cached jitted whole-solve mega-kernel solver (ops/megakernel.py)."""
     from sos_rt_tpu.fused import solve_batch_mega
 
     return jax.jit(lambda s, t: solve_batch_mega(
-        s, t, grid, opts, cols_per_block=cols_per_block, outputs=outputs))
+        s, t, grid, opts, cols_per_block=cols_per_block, outputs=outputs,
+        allow_small=allow_small))
+
+
+def mega_small_ok(scenes: Scene, grid: GridSpec) -> bool:
+    """Eager (concrete-values) check that the mega kernel may run a grid
+    with small-µ columns: for EVERY column, both region band choices
+    (band_choice(τ[idx_up-1]) and band_choice(τ[idx_down]),
+    main_lambertian.py:344-349) select a polyfit band that covers the
+    whole small-µ set — then the windowed/Taylor values are overwritten
+    by the band extrapolation in the reference path too, and skipping
+    them is exact (megakernel.py scope note).  Trivially True for grids
+    without small-µ columns.
+    """
+    from sos_rt_tpu.ops.megakernel import band_covers_small
+    from sos_rt_tpu.ops.sweeps import build_stencils
+
+    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    if stencils.small_cols.size == 0:
+        return True
+    ok = {c for c in range(4) if band_covers_small(stencils, c)}
+    if len(ok) == 4:
+        return True
+
+    ca, cb = _band_choices_fn(grid.nb_layers)(
+        jnp.asarray(scenes.tau_star_atm), jnp.asarray(scenes.tau_star_aer),
+        jnp.asarray(scenes.z0), jnp.asarray(scenes.z_up),
+        jnp.asarray(scenes.z_down))
+    choices = set(np.unique(np.asarray(ca))) | set(np.unique(np.asarray(cb)))
+    return choices.issubset(ok)
+
+
+@functools.lru_cache(maxsize=8)
+def _band_choices_fn(nb_layers: int):
+    from sos_rt_tpu.grids import tau_profile
+    from sos_rt_tpu.ops.sweeps import band_choice
+
+    def refs(ta, tr, z0, zu, zd):
+        tau, iu, idn = tau_profile(ta, tr, z0, zu, zd, nb_layers)
+        return band_choice(tau[iu - 1]), band_choice(tau[idn])
+
+    return jax.jit(jax.vmap(refs))
 
 
 @functools.lru_cache(maxsize=32)
 def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
                            engine: str, outputs: str, block_b: int,
-                           p0_batched: bool):
+                           p0_batched: bool, allow_small: bool = False):
     """Pallas engines composed with the mesh: `shard_map` over 'data'.
 
     GSPMD cannot propagate shardings *through* a `pallas_call`, so the
@@ -123,7 +164,8 @@ def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
 
     if engine == "mega":
         local = lambda s, t: solve_batch_mega(s, t, grid, opts,
-                                              outputs=outputs)
+                                              outputs=outputs,
+                                              allow_small=allow_small)
     else:
         local = lambda s, t: solve_batch_fused(s, t, grid, opts,
                                                block_b=block_b)
@@ -139,7 +181,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 opts: SolverOptions, mesh: Optional[Mesh] = None,
                 shard_tables: bool = False, buckets: int = 1,
                 engine: str = "reference", block_b: int = 16,
-                outputs: str = "full"):
+                outputs: str = "full",
+                cols_per_block: Optional[int] = None):
     """Solve a batch of columns; optionally sharded over ``mesh``.
 
     scenes: Scene pytree with (B,) leaves (see :func:`broadcast_scene`).
@@ -160,6 +203,12 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                          "expected 'reference', 'fused' or 'mega'")
     if outputs != "full" and engine != "mega":
         raise ValueError("outputs='summary' requires engine='mega'")
+    # eager small-µ eligibility for the mega kernel (concrete scenes
+    # here; inside the jit everything is traced) — see mega_small_ok
+    allow_small = (engine == "mega"
+                   and not isinstance(jnp.asarray(scenes.mu0),
+                                      jax.core.Tracer)
+                   and mega_small_ok(scenes, grid))
     if buckets > 1:
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         if b % buckets:
@@ -175,7 +224,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if mesh is not None:
             fn = None
         elif engine == "mega":
-            fn = _mega_solver(grid, opts, outputs=outputs)
+            fn = _mega_solver(grid, opts, cols_per_block, outputs=outputs,
+                              allow_small=allow_small)
         elif engine == "fused":
             fn = _fused_solver(grid, opts, block_b)
         else:
@@ -204,7 +254,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
 
     if mesh is None:
         if engine == "mega":
-            return _mega_solver(grid, opts, outputs=outputs)(scenes, tables)
+            return _mega_solver(grid, opts, cols_per_block, outputs=outputs,
+                                allow_small=allow_small)(scenes, tables)
         if engine == "fused":
             return _fused_solver(grid, opts, block_b)(scenes, tables)
         return _batched_solver(grid, opts,
@@ -218,7 +269,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if shard_tables:
             raise ValueError("shard_tables (TP) requires engine='reference'")
         fn = _sharded_engine_solver(grid, opts, mesh, engine, outputs,
-                                    block_b, p0b)
+                                    block_b, p0b, allow_small)
         data_sh = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)

@@ -105,7 +105,8 @@ def test_mega_summary_fallback_small_mu_grid():
 
 
 def test_mega_falls_back_on_small_mu_grid():
-    """M=201 has |µ|<0.01 columns → mega must delegate to the fused path."""
+    """M=201 has |µ|<0.01 columns → without the eager band-coverage
+    grant, mega must delegate to the fused path."""
     grid = GridSpec(nb_angles=201, nb_layers=48)
     tables = _tables(grid)
     opts = SolverOptions(surface="lambertian", dtype="float64")
@@ -116,3 +117,59 @@ def test_mega_falls_back_on_small_mu_grid():
     np.testing.assert_allclose(np.asarray(mega.i_total),
                                np.asarray(ref.i_total),
                                rtol=1e-9, atol=1e-11 * scale)
+
+
+@pytest.mark.parametrize("surface", ["lambertian", "specular"])
+def test_mega_odd_angle_count_padded(surface):
+    """M=53 (not a multiple of 8) exercises the angle-padding path —
+    inert pad rows must leave every real row bit-identical in effect."""
+    grid = GridSpec(nb_angles=53, nb_layers=64)
+    tables = _tables(grid)
+    opts = SolverOptions(surface=surface, dtype="float64")
+    scenes = _scenes(3)
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(mega.n_orders),
+                                  np.asarray(ref.n_orders))
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
+def test_mega_small_mu_grid_with_band_coverage():
+    """M=201 (one |µ|<0.01 column) with τ refs in the band-2 regime:
+    the µ→0⁻ polyfit band overwrites the small set in BOTH paths, so
+    the mega kernel (allow_small=True) must match the reference solver
+    exactly (see megakernel.py scope note / mesh.mega_small_ok)."""
+    from sos_rt_tpu.parallel.mesh import mega_small_ok
+
+    grid = GridSpec(nb_angles=201, nb_layers=48)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(3)
+    assert mega_small_ok(scenes, grid)
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=3,
+                            interpret=True, allow_small=True)
+    np.testing.assert_array_equal(np.asarray(mega.n_orders),
+                                  np.asarray(ref.n_orders))
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
+def test_mega_small_ok_rejects_thin_tau():
+    """τ_ref ≤ 0.0625 → band width 2 does not cover the small set →
+    the eager check must refuse (falls back to fused)."""
+    import dataclasses as dc
+
+    from sos_rt_tpu.parallel.mesh import mega_small_ok
+
+    grid = GridSpec(nb_angles=201, nb_layers=48)
+    scenes = dc.replace(_scenes(3),
+                        tau_star_atm=jnp.full((3,), 0.01),
+                        tau_star_aer=jnp.full((3,), 0.005))
+    assert not mega_small_ok(scenes, grid)

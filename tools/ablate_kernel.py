@@ -12,8 +12,16 @@ import dataclasses
 import sys
 import time
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
 from sos_rt_tpu.fused import solve_batch_mega
