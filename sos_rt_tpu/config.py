@@ -36,20 +36,33 @@ MU0_RESONANCE_TOL = 1e-4
 class GridSpec:
     """Static angular/vertical grid geometry.
 
-    Reproduces the reference layout exactly (SOS_Aer_main_lambertian.py:57-61):
-    µ = concat(linspace(-1,0,M), linspace(0,1,M)) — 2M points with µ=0
-    duplicated at indices M-1 and M; τ grid of ``nb_layers`` levels from TOA
-    (τ=0) to the surface.
+    ``spacing='uniform'`` reproduces the reference layout exactly
+    (SOS_Aer_main_lambertian.py:57-61): µ = concat(linspace(-1,0,M),
+    linspace(0,1,M)) — 2M points with µ=0 duplicated at indices M-1 and
+    M; τ grid of ``nb_layers`` levels from TOA (τ=0) to the surface.
+
+    ``spacing='gauss'`` (SURVEY.md §7 "Gauss-Legendre option") keeps the
+    same structural layout (each half ends/starts with the µ=0 point the
+    solver's special columns require) but places the M-1 interior points
+    of each half at Gauss–Legendre nodes mapped to (−1,0)/(0,1) — nodes
+    cluster toward the grazing-angle endpoints where the radiance varies
+    fastest.  All quadratures stay trapezoid-on-the-grid (the reference's
+    integration semantics), so every solver path works unchanged; the
+    mega engine declines GL grids (non-uniform up-µ) and the fused /
+    reference engines handle them.
     """
 
     nb_angles: int = 501
     nb_layers: int = 800
+    spacing: str = "uniform"
 
     def __post_init__(self):
         if self.nb_angles < 8:
             raise ValueError("nb_angles must be >= 8")
         if self.nb_layers < 4:
             raise ValueError("nb_layers must be >= 4")
+        if self.spacing not in ("uniform", "gauss"):
+            raise ValueError(f"unknown spacing: {self.spacing!r}")
 
     @property
     def n_mu(self) -> int:
@@ -58,6 +71,10 @@ class GridSpec:
     def mu(self) -> np.ndarray:
         """The 2M-point µ grid, float64, with duplicated 0."""
         m = self.nb_angles
+        if self.spacing == "gauss":
+            x, _ = np.polynomial.legendre.leggauss(m - 1)
+            up = np.sort(0.5 * (x + 1.0))            # (0, 1) interior
+            return np.concatenate([-up[::-1], [0.0], [0.0], up])
         return np.concatenate([np.linspace(-1.0, 0.0, m), np.linspace(0.0, 1.0, m)])
 
     def trapz_weights(self) -> np.ndarray:

@@ -394,11 +394,47 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
         if "nopassA" not in ab:
             jax.lax.fori_loop(0, NG, passA, jnp.zeros((M, C), dtype))
 
-        # ---- pass B (reverse): extract I↓ + µ→0⁻ fixes (zero row,
-        # polyfit band via left stencil matmuls), surface BC on the
-        # deepest layer, upward recurrence with the µ=0⁺ row riding
-        # along (att=0, src=jₙ — pins I(µ=0)=Jₙ), join corrections via
-        # the running carries q1/q2, smoothing, accumulation ----
+        # ---- polyfit-band fix, shared by the chunk loop and the BC
+        # precompute: zero row + static stencil matmuls from the left ----
+        def band_fix(fv, choice, zero_mask):
+            width = fv.shape[1]
+            fv = jnp.where(zero_mask, 0.0, fv)
+            if "nopoly" in ab:
+                return fv
+            polys = dot3(wall_hi, wall_lo, fv)               # (4·SLOT, w)
+            band = polys[0:SLOT]
+            vsel = pvt_ref[0, :][:, None] * jnp.ones((1, width), dtype)
+            for c in range(1, 4):
+                sel = choice == c
+                band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT], band)
+                vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
+            placed = dot3(place_hi, place_lo, band)          # (M, w)
+            return jnp.where(vsel > 0.5, placed, fv)
+
+        zm_c = rowf_c > mr - 1.5        # µ=0⁻ + pad rows of a C tile
+
+        # ---- surface BC hoisted OUT of the chunk loop (one (M, M) dot
+        # per order; a lax.cond inside the fori_loop lowered as ~NG
+        # predicated copies — measured 12% of the order, ablation
+        # tools/ablate_kernel.py): recompute the deepest C-slice's fixed
+        # I↓ from sdn and dot it once ----
+        last = slice(GC - C, GC)
+        if "nopassB" not in ab:
+            jnu_last = jnup_ref[NG - 1][:, last]
+            if "nobc" in ab:
+                r_init = jnu_last
+            else:
+                fvs = -sdn_ref[NG - 1][:, last] * ivdn       # (M, C)
+                fvs = band_fix(fvs,
+                               pack_ref[NG - 1][PK_CHOICE:PK_CHOICE + 1,
+                                                last], zm_c)
+                r_init = jnp.where(row0_c, jnu_last,
+                                   grd * dot3(bc_hi, bc_lo, fvs))
+
+        # ---- pass B (reverse): extract I↓ + µ→0⁻ fixes, upward
+        # recurrence with the µ=0⁺ row riding along (att=0, src=jₙ —
+        # pins I(µ=0)=Jₙ), join corrections via the running carries
+        # q1/q2, smoothing, accumulation ----
         def passB(grev, carry):
             r, q1, q2 = carry
             g = NG - 1 - grev
@@ -407,33 +443,7 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
             attu3 = attup_ref[g]
 
             fv = -sdn_ref[g] * ivdn                          # (M, GC)
-            fv = jnp.where(lastrow_g, 0.0, fv)
-            if "nopoly" not in ab:
-                polys = dot3(wall_hi, wall_lo, fv)           # (4·SLOT, GC)
-                choice = pk[PK_CHOICE:PK_CHOICE + 1, :]      # (1, GC)
-                band = polys[0:SLOT]
-                vsel = pvt_ref[0, :][:, None] * jnp.ones((1, GC), dtype)
-                for c in range(1, 4):
-                    sel = choice == c
-                    band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT],
-                                     band)
-                    vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
-                placed = dot3(place_hi, place_lo, band)      # (M, GC)
-                fv = jnp.where(vsel > 0.5, placed, fv)
-
-            # surface BC from the deepest layer's I↓ (first chunk only;
-            # the dot runs under lax.cond so the other NG-1 chunk
-            # iterations skip the (M, M) matmul entirely)
-            last = slice(GC - C, GC)
-            first = grev == 0
-            if "nobc" in ab:
-                r = jnp.where(first, jnu3[:, last], r)
-            else:
-                r = jax.lax.cond(
-                    first,
-                    lambda: jnp.where(row0_c, jnu3[:, last],
-                                      grd * dot3(bc_hi, bc_lo, fv[:, last])),
-                    lambda: r)
+            fv = band_fix(fv, pk[PK_CHOICE:PK_CHOICE + 1, :], lastrow_g)
 
             # up-sweep source pieces, chunk-wide
             jiv = ivup * jnu3                                # (M, GC)
@@ -475,7 +485,7 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
 
         z = jnp.zeros((M, C), dtype)
         if "nopassB" not in ab:
-            jax.lax.fori_loop(0, NG, passB, (z, z, z))
+            jax.lax.fori_loop(0, NG, passB, (r_init, z, z))
 
         if "noratio" in ab:
             rnew = ratio

@@ -55,8 +55,25 @@ UNROLL = 8
 # Largest per-kernel batch block that fits the 16 MB scoped-VMEM budget of
 # one TensorCore (measured on v5e at L=128, M=64: block 16 compiles, 32
 # exceeds the limit via the attenuation scratch + unroll temporaries).
-# Compiled path clamps to this; interpret mode is unconstrained.
+# Compiled path clamps to min(this, the grid-size-aware cap below);
+# interpret mode is unconstrained.
 MAX_COMPILED_BLOCK_B = 16
+
+# Per-plane allowance for the block cap.  The scoped-VMEM accounting
+# covers ALL kernel buffers — double-buffered in/out windows + scratch ≈
+# 5 (block, L, M) planes (measured: block 8 at 800×501 requests 43.75 MB
+# against the 16 MB default) — so both kernels raise the limit to
+# 100 MB via CompilerParams and the cap keeps 5 planes within it.
+# Floor of 8: the kernels' 2-D blocks (cparams/bc) put the batch dim on
+# sublanes, which Mosaic requires divisible by 8.
+_PLANE_BUDGET = 15e6
+
+
+def _block_cap(L: int, m: int) -> int:
+    """Largest power-of-two block ≥ 8 with (block, L, m) f32 within the
+    per-allocation scoped-VMEM budget."""
+    cap = max(8, int(_PLANE_BUDGET / (L * m * 4)))
+    return 1 << (cap.bit_length() - 1)
 
 # pack lane indices
 PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP = range(8)
@@ -100,15 +117,16 @@ def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 16,
     """jn_down: (B, L, Md); pack: (B, L, 8); mu_down_safe: (Md,), µ=0→-1.
 
     NOTE: on the compiled path ``block_b`` is clamped to
-    ``MAX_COMPILED_BLOCK_B`` (16) — larger blocks exceed the scoped-VMEM
-    budget (see the constant's comment).  Callers tuning block sizes
+    min(``MAX_COMPILED_BLOCK_B``, ``_block_cap(L, M)``) — larger blocks
+    exceed the scoped-VMEM budget (see the constants' comments; at the
+    canonical 800×501 grid the cap is 8).  Callers tuning block sizes
     (solve_batch(engine='fused', block_b=...)) should expect requests
-    above the clamp to compile at 16.
+    above the clamp to compile at the clamp.
     """
     b, L, md = jn_down.shape
     assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
     if not interpret:
-        block_b = min(block_b, MAX_COMPILED_BLOCK_B)
+        block_b = min(block_b, MAX_COMPILED_BLOCK_B, _block_cap(L, md))
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(
@@ -125,6 +143,8 @@ def down_sweep_pallas(jn_down, pack, mu_down_safe, block_b: int = 16,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, L, md), jn_down.dtype),
         scratch_shapes=[pltpu.VMEM((block_b, L, md), jn_down.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(pack, mu_down_safe[None, :], jn_down)
 
@@ -239,7 +259,7 @@ def up_sweep_smooth_pallas(jn_up, pack, cparams, mu_up_row, bc,
     b, L, m = jn_up.shape
     assert L % UNROLL == 0, f"fused path requires nb_layers % {UNROLL} == 0"
     if not interpret:
-        block_b = min(block_b, MAX_COMPILED_BLOCK_B)
+        block_b = min(block_b, MAX_COMPILED_BLOCK_B, _block_cap(L, m))
     block_b = min(block_b, b)
     grid = (b // block_b,)
     return pl.pallas_call(
@@ -261,6 +281,8 @@ def up_sweep_smooth_pallas(jn_up, pack, cparams, mu_up_row, bc,
         out_shape=jax.ShapeDtypeStruct((b, L, m), jn_up.dtype),
         scratch_shapes=[pltpu.VMEM((block_b, L, m), jn_up.dtype),
                         pltpu.VMEM((block_b, L, m), jn_up.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(pack, cparams, mu_up_row[None, :], jn_up, bc)
 

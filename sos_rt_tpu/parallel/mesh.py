@@ -197,6 +197,10 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     ``outputs='summary'`` (mega engine) returns a
     :class:`sos_rt_tpu.fused.SweepSummary` — TOA/surface rows + stats
     only, the full field never leaves the chips.
+
+    ``cols_per_block`` (mega engine) overrides the kernel's per-block
+    column count (VMEM-heuristic default; measured sweet spots in
+    BASELINE.md: 128 at B=65536, 256 at B=32768).
     """
     if engine not in ("reference", "fused", "mega"):
         raise ValueError(f"unknown engine {engine!r}; "
