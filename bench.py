@@ -254,17 +254,20 @@ def main():
     # 1. canonical first: cheap (≤ 1 min warm-cache), and a stalled relay
     #    can then only hurt later stages
     _stage(["--canonical"], timeout=720, retries=1)
-    # 2. headline sweep: batch ladder, generous per-attempt timeout
+    # 2. headline sweep ladder: best config first (cold compile of the
+    #    4-bucket fused graph is ~29 min, warm-cache first call ~4.5 min
+    #    — BASELINE.md), then already-cached simpler configs
     emitted = False
-    for batch in (65536, 65536, 32768, 8192):
-        r = _stage(["--sweep", str(batch)], timeout=1800, retries=0)
+    for batch, buckets in ((65536, 4), (65536, 4), (65536, 1), (32768, 1)):
+        r = _stage(["--sweep", str(batch), "--buckets", str(buckets)],
+                   timeout=2300, retries=0)
         if r is not None:
             line = (r.stdout.strip().splitlines() or [""])[-1]
             if line:
                 print(line, flush=True)
                 emitted = True
                 break
-        log(f"sweep batch={batch} failed; retrying")
+        log(f"sweep batch={batch} buckets={buckets} failed; retrying")
     if not emitted:
         _emit(0.0)
     # 3. parity artifact (never hurts the headline)
@@ -277,8 +280,10 @@ if __name__ == "__main__":
         import jax
 
         log(f"devices: {jax.devices()}")
+        bk = (int(sys.argv[sys.argv.index("--buckets") + 1])
+              if "--buckets" in sys.argv else 4)
         _emit(bench_sweep(batch=int(sys.argv[sys.argv.index("--sweep") + 1]),
-                          reps=3))
+                          reps=3, buckets=bk))
     elif "--canonical" in sys.argv:
         _enable_cache()
         bench_canonical()

@@ -137,6 +137,62 @@ def mega_small_ok(scenes: Scene, grid: GridSpec) -> bool:
     return choices.issubset(ok)
 
 
+@functools.lru_cache(maxsize=32)
+def _bucketed_solver(grid: GridSpec, opts: SolverOptions, engine: str,
+                     buckets: int, outputs: str, block_b: int,
+                     cols_per_block: Optional[int], p0_batched: bool,
+                     allow_small: bool):
+    """One jitted function for the whole convergence-bucketed pipeline:
+    sort by the order-count proxy, solve equal-size chunks (each bucket
+    exits its own while_loop at its local worst column), unsort."""
+    from sos_rt_tpu.fused import solve_batch_fused, solve_batch_mega
+
+    if engine == "mega":
+        one = lambda s, t: solve_batch_mega(
+            s, t, grid, opts, cols_per_block=cols_per_block,
+            outputs=outputs, allow_small=allow_small)
+    elif engine == "fused":
+        one = lambda s, t: solve_batch_fused(s, t, grid, opts,
+                                             block_b=block_b)
+    else:
+        stencils = build_stencils(grid.mu(), grid.nb_angles)
+        table_axes = PhaseTables(p0_atm=0 if p0_batched else None,
+                                 p_atm=None,
+                                 p0_aer=0 if p0_batched else None,
+                                 p_aer=None)
+        one = jax.vmap(lambda sc, tbl: solve_column(sc, tbl, grid, opts,
+                                                    stencils),
+                       in_axes=(0, table_axes))
+
+    def run(scenes, tables):
+        b = jnp.shape(jnp.asarray(scenes.mu0))[0]
+        chunk = b // buckets
+        perm = jnp.argsort(order_count_score(scenes))
+        scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
+        if p0_batched:
+            tables_s = dataclasses.replace(
+                tables, p0_atm=tables.p0_atm[perm],
+                p0_aer=tables.p0_aer[perm])
+        else:
+            tables_s = tables
+        outs = []
+        for i in range(buckets):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            part = jax.tree_util.tree_map(lambda x: x[sl], scenes)
+            part_tbl = tables_s
+            if p0_batched:
+                part_tbl = dataclasses.replace(
+                    tables_s, p0_atm=tables_s.p0_atm[sl],
+                    p0_aer=tables_s.p0_aer[sl])
+            outs.append(one(part, part_tbl))
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        inv = jnp.argsort(perm)
+        return jax.tree_util.tree_map(lambda x: x[inv], stacked)
+
+    return jax.jit(run)
+
+
 @functools.lru_cache(maxsize=8)
 def _band_choices_fn(nb_layers: int):
     from sos_rt_tpu.grids import tau_profile
@@ -217,6 +273,14 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         if b % buckets:
             raise ValueError(f"batch {b} not divisible by buckets {buckets}")
+        if mesh is None:
+            # whole pipeline (sort → per-bucket solves → unsort) as ONE
+            # jitted dispatch — the eager argsort/gather/concat chain
+            # costs a ~35 ms relay RPC each (BASELINE.md)
+            p0b = jnp.ndim(tables.p0_atm) == 2
+            return _bucketed_solver(grid, opts, engine, buckets, outputs,
+                                    block_b, cols_per_block, p0b,
+                                    allow_small)(scenes, tables)
         perm = jnp.argsort(order_count_score(scenes))
         sorted_scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         p0b = jnp.ndim(tables.p0_atm) == 2
@@ -225,15 +289,6 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             sorted_tables = dataclasses.replace(
                 tables, p0_atm=tables.p0_atm[perm], p0_aer=tables.p0_aer[perm])
         chunk = b // buckets
-        if mesh is not None:
-            fn = None
-        elif engine == "mega":
-            fn = _mega_solver(grid, opts, cols_per_block, outputs=outputs,
-                              allow_small=allow_small)
-        elif engine == "fused":
-            fn = _fused_solver(grid, opts, block_b)
-        else:
-            fn = _batched_solver(grid, opts, p0b)
         outs = []
         for i in range(buckets):
             part = jax.tree_util.tree_map(
@@ -244,13 +299,10 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                     sorted_tables,
                     p0_atm=sorted_tables.p0_atm[i * chunk:(i + 1) * chunk],
                     p0_aer=sorted_tables.p0_aer[i * chunk:(i + 1) * chunk])
-            if mesh is None:
-                outs.append(fn(part, part_tbl))
-            else:
-                outs.append(solve_batch(part, part_tbl, grid, opts, mesh=mesh,
-                                        shard_tables=shard_tables,
-                                        engine=engine, block_b=block_b,
-                                        outputs=outputs))
+            outs.append(solve_batch(part, part_tbl, grid, opts, mesh=mesh,
+                                    shard_tables=shard_tables,
+                                    engine=engine, block_b=block_b,
+                                    outputs=outputs))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         inv = jnp.argsort(perm)
