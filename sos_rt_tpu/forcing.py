@@ -64,6 +64,55 @@ def radiative_forcing(scene: Scene, tables: PhaseTables, grid: GridSpec,
     return _toa_net(scene, tables, grid, opts) - _toa_net(base, tables, grid, opts)
 
 
+def toa_net_from_summary(summ, scenes: Scene, grid: GridSpec):
+    """TOA net flux (critical-albedo convention, critical_albedo.py:
+    377-382) from a :class:`sos_rt_tpu.fused.SweepSummary` — only the
+    TOA radiance row is needed, so the summary path suffices."""
+    from sos_rt_tpu.outputs import _beam_scale
+
+    m = grid.nb_angles
+    dtype = summ.i_toa.dtype
+    mu = jnp.asarray(grid.mu(), dtype)
+    w_mu = jnp.asarray(grid.trapz_weights(), dtype)
+    mu0 = jnp.asarray(scenes.mu0, dtype)
+    f0 = jnp.pi / mu0
+    scale = _beam_scale("heating", f0, mu0)
+    tau_star = summ.tau[:, -1]
+    down_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, :m], mu[:m], w_mu[:m])
+    up_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, m:], mu[m:], w_mu[m:])
+    flux_down0 = down_diff - scale                      # e^{-0/µ0} = 1
+    flux_up0 = (up_diff + jnp.asarray(scenes.grd_alb, dtype) * scale
+                * jnp.exp(-2.0 * tau_star / mu0))
+    return -flux_down0 - flux_up0
+
+
+def radiative_forcing_batch(scenes: Scene, tables: PhaseTables,
+                            grid: GridSpec, opts: SolverOptions,
+                            engine: str = "mega"):
+    """Batched ΔF through the production engines: two summary-mode
+    solves (with aerosol / aerosol-free); only TOA rows leave the chip.
+    For large forcing sweeps this is the same ~1e5 col/s path as the
+    headline benchmark (two solves per column)."""
+    from sos_rt_tpu.parallel import solve_batch
+
+    base = dataclasses.replace(
+        scenes, tau_star_aer=jnp.zeros_like(jnp.asarray(scenes.tau_star_aer)))
+    s1 = solve_batch(scenes, tables, grid, opts, engine=engine,
+                     outputs="summary" if engine == "mega" else "full")
+    s0 = solve_batch(base, tables, grid, opts, engine=engine,
+                     outputs="summary" if engine == "mega" else "full")
+
+    def net(s, sc):
+        if hasattr(s, "i_toa"):
+            return toa_net_from_summary(s, sc, grid)
+        mu = jnp.asarray(grid.mu(), s.i_total.dtype)
+        w_mu = jnp.asarray(grid.trapz_weights(), s.i_total.dtype)
+        return toa_net_flux(s.i_total, mu, w_mu, s.tau, sc.mu0, sc.grd_alb,
+                            grid.nb_angles)
+
+    return net(s1, scenes) - net(s0, base)
+
+
 def critical_albedo(scene: Scene, tables: PhaseTables, grid: GridSpec,
                     opts: SolverOptions, forcing_fn=None):
     """Bisection on the aerosol single-scattering albedo ω_aer ∈ [0, 1]

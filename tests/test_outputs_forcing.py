@@ -135,3 +135,37 @@ def test_per_order_fields(sol_scene):
     dif = per_order_diffusivity(orders[:n], jnp.asarray(MU), jnp.asarray(W))
     assert dif.shape == (n, L)
     assert np.all(np.abs(np.asarray(dif)) <= 1.0)
+
+
+def test_radiative_forcing_batch_summary_path():
+    """Batched ΔF via the mega/summary engines equals the per-column
+    reference forcing (two solves per column; only TOA rows used)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+    from sos_rt_tpu.forcing import radiative_forcing, radiative_forcing_batch
+    from sos_rt_tpu.parallel import broadcast_scene
+    from sos_rt_tpu.solver import PhaseTables
+
+    grid = GridSpec(nb_angles=32, nb_layers=48)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("hg", {"g": 0.7}))
+    B = 3
+    scenes = dataclasses.replace(
+        broadcast_scene(Scene(), B),
+        grd_alb=jnp.linspace(0.1, 0.6, B),
+        tau_star_aer=jnp.linspace(0.05, 0.3, B),
+        alb_aer=jnp.linspace(0.8, 1.0, B))
+    got = np.asarray(radiative_forcing_batch(scenes, tables, grid, opts,
+                                             engine="mega"))
+    want = np.stack([
+        np.asarray(radiative_forcing(
+            jax.tree_util.tree_map(lambda x: x[i], scenes),
+            tables, grid, opts))
+        for i in range(B)])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
