@@ -270,6 +270,12 @@ def cmd_list(_args):
 
 
 def main(argv=None):
+    # multi-host launch: JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID in the environment initialize the distributed
+    # runtime (no-op otherwise) — see parallel/distributed.py
+    from sos_rt_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
     ap = argparse.ArgumentParser(prog="sos_rt_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
