@@ -148,9 +148,11 @@ def _bucketed_solver(grid: GridSpec, opts: SolverOptions, engine: str,
     from sos_rt_tpu.fused import solve_batch_fused, solve_batch_mega
 
     if engine == "mega":
+        # sort=False: the pipeline already sorted globally by the same
+        # proxy, so each bucket is a contiguous sorted chunk
         one = lambda s, t: solve_batch_mega(
             s, t, grid, opts, cols_per_block=cols_per_block,
-            outputs=outputs, allow_small=allow_small)
+            outputs=outputs, allow_small=allow_small, sort=False)
     elif engine == "fused":
         one = lambda s, t: solve_batch_fused(s, t, grid, opts,
                                              block_b=block_b)

@@ -64,3 +64,33 @@ def test_list_cmd(capsys):
     main(["list"])
     out = capsys.readouterr().out
     assert "eva" in out and "rayleigh" in out
+
+
+def test_sweep_cmd_mega_engine(tmp_path, monkeypatch):
+    """The headline path through the CLI: mega engine + summary outputs
+    on an eligible grid (interpret mode on CPU)."""
+    monkeypatch.chdir(tmp_path)
+    import dataclasses
+
+    import sos_rt_tpu.presets as presets
+    from sos_rt_tpu.config import GridSpec, SolverOptions
+
+    small = dataclasses.replace(
+        presets.PRESETS["fwc_sweep"],
+        grid=GridSpec(nb_angles=32, nb_layers=48),
+        opts=SolverOptions(surface="lambertian", dtype="float32",
+                           max_orders=40))
+    monkeypatch.setitem(presets.PRESETS, "fwc_sweep", small)
+    out = str(tmp_path / "megadir")
+    main(["sweep", "--preset", "fwc_sweep", "--batch", "8",
+          "--mu0-pool", "2", "--engine", "mega", "-o", out,
+          "--metrics", str(tmp_path / "m.json")])
+    from sos_rt_tpu.sweep import load_sweep
+
+    res = load_sweep(out)
+    assert res["i_toa"].shape == (8, 64)
+    assert res["converged"].all()
+    with open(tmp_path / "m.json") as f:
+        m = json.load(f)
+    assert m["engine"] == "mega" and m["outputs"] == "summary"
+    assert m["batch"] == 8

@@ -53,6 +53,7 @@ def main():
 
     variants = [
         "noconv",
+        "noconv,noi1",
         "noconv,nosrc",
         "noconv,noloops",
         "noconv,nopoly",
