@@ -73,3 +73,25 @@ def test_metrics_fields(small_preset):
     assert m["batch"] == 8
     assert m["n_converged"] == 8
     assert json.dumps(m)                           # JSON-serializable
+
+
+def test_run_sweep_with_mesh(tmp_path, small_preset):
+    """Chunked resumable sweep composed with a device mesh: shard files
+    equal the unmeshed run's."""
+    import jax
+    import numpy as np
+
+    from sos_rt_tpu.parallel import make_mesh
+
+    out1 = str(tmp_path / "nomesh")
+    run_sweep(small_preset, 16, seed=5, mu0_pool=2, engine="reference",
+              outputs="full", chunk=8, out_dir=out1)
+    out2 = str(tmp_path / "mesh")
+    run_sweep(small_preset, 16, seed=5, mu0_pool=2, engine="reference",
+              outputs="full", chunk=8, out_dir=out2,
+              mesh=make_mesh((len(jax.devices()), 1)))
+    a, b = load_sweep(out1), load_sweep(out2)
+    np.testing.assert_array_equal(a["n_orders"], b["n_orders"])
+    # f32 preset: sharded compilation differs in fusion choices → last-ulp
+    np.testing.assert_allclose(a["i_toa"], b["i_toa"], rtol=1e-5,
+                               atol=1e-7)
