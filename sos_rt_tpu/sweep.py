@@ -114,7 +114,7 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
             log(msg)
 
     scenes, tables = build_sweep_batch(preset, batch, seed, mu0_pool)
-    p0b = np.ndim(np.asarray(jax.device_get(tables.p0_atm))) == 2
+    p0b = getattr(tables.p0_atm, "ndim", np.ndim(tables.p0_atm)) == 2
     if chunk <= 0 or out_dir is None:
         t0 = time.perf_counter()
         sol = _metrics.block_until_ready(solve_batch(
