@@ -83,6 +83,8 @@ def cmd_run(args):
     z = jnp.linspace(scene.z0, 0.0, grid.nb_layers)
     fu, fd = outputs.flux_up_down(sol.i_total, mu, w, sol.tau, scene.mu0,
                                   scene.grd_alb, grid.nb_angles)
+    nf = outputs.net_flux(sol.i_total, mu, w, sol.tau, scene.mu0,
+                          scene.grd_alb)       # graphe_flux convention
     dif = outputs.diffusivity(sol.i_total, mu, w)
     hr = outputs.heating_rate(sol.i_total, mu, w, sol.tau, z, scene.mu0,
                               scene.grd_alb, grid.nb_angles,
@@ -92,6 +94,7 @@ def cmd_run(args):
         out, I=np.asarray(sol.i_total), I1=np.asarray(sol.i1),
         tau=np.asarray(sol.tau), mu=np.asarray(mu), z=np.asarray(z),
         flux_up=np.asarray(fu), flux_down=np.asarray(fd),
+        net_flux=np.asarray(nf),
         diffusivity=np.asarray(dif), heating_rate=np.asarray(hr),
         n_orders=int(sol.n_orders))
     print(f"[sos] wrote {out}", file=sys.stderr)
@@ -156,6 +159,9 @@ def _plot(path):
         fig, axes = plt.subplots(1, 3, figsize=(13, 4))
         axes[0].plot(z["flux_up"], z["z"], label="flux up")
         axes[0].plot(z["flux_down"], z["z"], label="flux down")
+        if "net_flux" in z.files:
+            axes[0].plot(z["net_flux"], z["z"], label="net (graphe)",
+                         ls="--")
         axes[0].set_xlabel("Flux"), axes[0].legend()
         axes[1].plot(z["diffusivity"], z["z"])
         axes[1].set_xlabel(r"Diffusivity $\bar{\mu}$")
