@@ -464,18 +464,24 @@ def _up_sweep(surface, jn, in_down_surface_row, tau, mu, nb_angles,
 def oracle_solve(*, surface, tau_star_atm, tau_star_aer, z0, z_up, z_down,
                  nb_layers, nb_angles, mu0, grd_alb, alb_atm, alb_aer,
                  p0_atm, p_atm, p0_aer, p_aer,
-                 tol=1e-4, max_orders=1000, save_orders=False):
+                 tol=1e-4, max_orders=1000, save_orders=False, mu=None):
     """Full SOS solve to the 100 ppm criterion (main_lambertian.py:303-460).
 
     Returns dict with I, I1, n_orders, tau, idx_up, idx_down, mu
-    (and I_per_order when ``save_orders``).
+    (and I_per_order when ``save_orders``).  ``mu`` overrides the
+    reference's uniform grid (main_lambertian.py:59-61) with any 2M
+    layout keeping the duplicated 0 at M-1/M — used to validate the
+    Gauss–Legendre grid option; every internal stage is node-agnostic.
     """
     from sos_rt_tpu.grids import tau_profile_np
 
     tau, idx_up, idx_down = tau_profile_np(
         tau_star_atm, tau_star_aer, z0, z_up, z_down, nb_layers)
     L, M = nb_layers, nb_angles
-    mu = np.concatenate([np.linspace(-1.0, 0.0, M), np.linspace(0.0, 1.0, M)])
+    if mu is None:
+        mu = np.concatenate([np.linspace(-1.0, 0.0, M),
+                             np.linspace(0.0, 1.0, M)])
+    mu = np.asarray(mu, np.float64)
     f0 = np.pi / mu0                       # VdH convention (main_lambertian.py:105)
     # Mixing weights — NOTE the reference defines dtau_atm = τ*_atm/nb_layers
     # (main_lambertian.py:53), not the actual grid spacing τ*_atm/(L-1).

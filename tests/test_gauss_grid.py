@@ -59,3 +59,31 @@ def test_solver_converges_on_gl_grid():
     f_g = float(jnp.sum((w_g * mu_g)[m:] * sol.i_total[0, m:]))
     f_u = float(jnp.sum((w_u * mu_u)[m:] * su.i_total[0, m:]))
     assert abs(f_g - f_u) / abs(f_u) < 0.05, (f_g, f_u)
+
+
+def test_gl_grid_matches_oracle():
+    """Full oracle parity on GL nodes: the JAX solver on a GL grid must
+    match the NumPy oracle run on the SAME nodes (grid-agnostic
+    numerics end to end — quadrature, small-µ machinery, polyfit band,
+    smoothing walk)."""
+    from sos_rt_tpu.models import build_phase_tables
+    from sos_rt_tpu.oracle.solver import oracle_solve
+    from sos_rt_tpu.solver import PhaseTables
+
+    grid = GridSpec(nb_angles=41, nb_layers=48, spacing="gauss")
+    mu = grid.mu()
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    p0a, pa = build_phase_tables("rayleigh", mu, 0.5)
+    p0r, pr = build_phase_tables("hg", mu, 0.5, g=0.7)
+    ref = oracle_solve(
+        surface="lambertian", tau_star_atm=0.104, tau_star_aer=0.12,
+        z0=120.0, z_up=25.0, z_down=17.0, nb_layers=48, nb_angles=41,
+        mu0=0.5, grd_alb=0.15, alb_atm=1.0, alb_aer=1.0,
+        p0_atm=p0a, p_atm=pa, p0_aer=p0r, p_aer=pr, mu=mu)
+    tables = PhaseTables(*(jnp.asarray(x) for x in (p0a, pa, p0r, pr)))
+    sol = solve_column(Scene(mu0=0.5, grd_alb=0.15), tables, grid, opts,
+                       build_stencils(mu, 41))
+    assert int(sol.n_orders) == ref["n_orders"]
+    scale = float(np.max(np.abs(ref["I"])))
+    np.testing.assert_allclose(np.asarray(sol.i_total), ref["I"],
+                               rtol=1e-7, atol=1e-9 * scale)
