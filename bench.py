@@ -53,34 +53,15 @@ def log(*a):
 
 
 def _sweep_inputs(batch: int):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """The config-5 batch — THE production definition from
+    sos_rt_tpu.sweep.build_sweep_batch (identical PRNG draws/ranges;
+    the benchmark measures exactly what the CLI sweep runs)."""
+    from sos_rt_tpu.presets import get_preset
+    from sos_rt_tpu.sweep import build_sweep_batch
 
-    from sos_rt_tpu.config import GridSpec, Scene
-    from sos_rt_tpu.parallel import broadcast_scene
-    from sos_rt_tpu.solver import PhaseTables
-
-    grid = GridSpec(nb_angles=64, nb_layers=128)
-    base = broadcast_scene(Scene(), batch)
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    mu0_pool = np.linspace(0.2, 0.95, N_MU0)
-    mu0_idx = jax.random.randint(k4, (batch,), 0, N_MU0)
-    scenes = dataclasses.replace(
-        base,
-        mu0=jnp.asarray(mu0_pool, jnp.float32)[mu0_idx],
-        grd_alb=jax.random.uniform(k1, (batch,), minval=0.0, maxval=0.9),
-        tau_star_aer=jax.random.uniform(k2, (batch,), minval=0.01, maxval=0.4),
-        alb_aer=jax.random.uniform(k3, (batch,), minval=0.7, maxval=1.0),
-    )
-    tables = PhaseTables.from_models_batched_mu0(
-        grid, mu0_pool, atm=("rayleigh", {}), aer=("fwc", {}),
-        dtype=jnp.float32)
-    tables = dataclasses.replace(tables,
-                                 p0_atm=tables.p0_atm[mu0_idx],
-                                 p0_aer=tables.p0_aer[mu0_idx])
-    return scenes, tables, grid
+    p = get_preset("fwc_sweep")
+    scenes, tables = build_sweep_batch(p, batch, seed=0, mu0_pool=N_MU0)
+    return scenes, tables, p.grid
 
 
 def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=64,

@@ -38,6 +38,7 @@ from sos_rt_tpu.ops.sweeps import (
     build_stencils,
     polyfit_band_variants,
     select_band_choice,
+    stencils_for,
 )
 from sos_rt_tpu.solver import PhaseTables, Solution
 
@@ -61,6 +62,15 @@ class SweepSummary:
     tau: Any            # (B, L)
     idx_up: Any
     idx_down: Any
+
+
+def _to_summary(sol: Solution) -> SweepSummary:
+    """Reduce a full Solution to the summary read-set (fallback paths)."""
+    return SweepSummary(i_toa=sol.i_total[:, 0, :],
+                        i_surface=sol.i_total[:, -1, :],
+                        n_orders=sol.n_orders, converged=sol.converged,
+                        tau=sol.tau, idx_up=sol.idx_up,
+                        idx_down=sol.idx_down)
 
 
 def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
@@ -104,16 +114,10 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         raise ValueError(f"unknown outputs mode {outputs!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    stencils = stencils_for(grid)
     if not mk.mega_supported(grid, stencils, allow_small=allow_small):
         sol = solve_batch_fused(scenes, tables, grid, opts)
-        if outputs == "summary":
-            sol = SweepSummary(i_toa=sol.i_total[:, 0, :],
-                               i_surface=sol.i_total[:, -1, :],
-                               n_orders=sol.n_orders, converged=sol.converged,
-                               tau=sol.tau, idx_up=sol.idx_up,
-                               idx_down=sol.idx_down)
-        return sol
+        return _to_summary(sol) if outputs == "summary" else sol
 
     if sort:
         from sos_rt_tpu.parallel.mesh import order_count_score
@@ -163,13 +167,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 if L % d == 0 and d * C <= 1024 and (d * C) % 128 == 0]
         if C < 32 or not g_ok:
             sol = solve_batch_fused(scenes, tables, grid, opts)
-            if outputs == "summary":
-                sol = SweepSummary(
-                    i_toa=sol.i_total[:, 0, :],
-                    i_surface=sol.i_total[:, -1, :],
-                    n_orders=sol.n_orders, converged=sol.converged,
-                    tau=sol.tau, idx_up=sol.idx_up, idx_down=sol.idx_down)
-            return sol
+            return _to_summary(sol) if outputs == "summary" else sol
     pad = (-B) % C
     if pad:
         scenes = jax.tree_util.tree_map(
@@ -190,10 +188,13 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     nblk = Bp // C
     # layers per chunk: fill the lane tile without exceeding ~1024 lanes
     # or unrolling too far (the pass bodies unroll over G in Python);
-    # compiled blocks need (G·C) % 128 == 0 (checked viable above)
-    G = next(d for d in (16, 8, 4, 2, 1)
-             if L % d == 0 and d * C <= 1024
-             and (interpret or (d * C) % 128 == 0))
+    # the compiled-path candidates were computed (and checked non-empty)
+    # by the viability gate above
+    if interpret:
+        G = next(d for d in (16, 8, 4, 2, 1)
+                 if L % d == 0 and d * C <= 1024)
+    else:
+        G = g_ok[0]
     NG = L // G
 
     tau, idx_up, idx_down = jax.vmap(
@@ -359,15 +360,38 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     """Batched SOS solve over (B,)-leaved ``scenes``.
 
     ``interpret`` forces Pallas interpreter mode (auto: on except on TPU).
+    B is padded to a multiple of the kernels' effective batch block
+    (the Pallas grid = B // block silently TRUNCATES otherwise, leaving
+    garbage in the trailing columns) and outputs are sliced back.
     """
+    from sos_rt_tpu.ops.pallas_sweeps import effective_block
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    stencils = stencils_for(grid)
     dtype = jnp.dtype(opts.dtype)
     L, M = grid.nb_layers, grid.nb_angles
     mu = jnp.asarray(grid.mu(), dtype)
     w_mu = jnp.asarray(grid.trapz_weights(), dtype)
-    B = jnp.shape(jnp.asarray(scenes.mu0))[0]
+    B0 = jnp.shape(jnp.asarray(scenes.mu0))[0]
+    eff = min(effective_block(L, M, block_b, interpret), B0)
+    pad = (-B0) % eff
+    if pad:
+        scenes = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]), scenes)
+        if jnp.ndim(tables.p0_atm) == 2:
+            tables = dataclasses.replace(
+                tables,
+                p0_atm=jnp.concatenate(
+                    [tables.p0_atm,
+                     jnp.broadcast_to(tables.p0_atm[-1:],
+                                      (pad,) + tables.p0_atm.shape[1:])]),
+                p0_aer=jnp.concatenate(
+                    [tables.p0_aer,
+                     jnp.broadcast_to(tables.p0_aer[-1:],
+                                      (pad,) + tables.p0_aer.shape[1:])]))
+    B = B0 + pad
 
     # ---- per-column geometry (vmapped over the batch) ----
     tau, idx_up, idx_down = jax.vmap(
@@ -509,8 +533,13 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     tol = jnp.asarray(opts.tol, dtype)
 
     def ratio_fn(dn_new, up_new, dn_tot, up_tot):
-        r_toa = jnp.max(up_new[:, 0, :] / up_tot[:, 0, :], axis=1)
-        r_srf = jnp.max(dn_new[:, L - 1, :] / dn_tot[:, L - 1, :], axis=1)
+        # 0/0 → 0 (treated converged): degenerate scenes with zero
+        # radiance at a TOA/surface angle must not poison the criterion
+        div = lambda a, b: jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0),
+                                     0.0)
+        r_toa = jnp.max(div(up_new[:, 0, :], up_tot[:, 0, :]), axis=1)
+        r_srf = jnp.max(div(dn_new[:, L - 1, :], dn_tot[:, L - 1, :]),
+                        axis=1)
         return jnp.maximum(r_toa, r_srf)
 
     def cond(carry):
@@ -529,11 +558,16 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return dn_new, up_new, dn_tot, up_tot, ratio, n
 
     dn1, up1 = i1[:, :, :M], i1[:, :, M:]
-    ratio0 = ratio_fn(jnp.ones_like(dn1), jnp.ones_like(up1), dn1, up1)
+    # explicit above-tol seed (the loop must take ≥1 step); max(1/I1)
+    # would be inf/NaN for any zero I1 entry in degenerate scenes
+    ratio0 = jnp.full((B,), 2.0 * float(opts.tol), i1.dtype)
     carry = (dn1, up1, dn1, up1, ratio0, jnp.ones((B,), jnp.int32))
     _, _, dn_tot, up_tot, ratio, n = jax.lax.while_loop(cond, body, carry)
 
-    return Solution(
+    sol = Solution(
         i_total=jnp.concatenate([dn_tot, up_tot], axis=-1), i1=i1,
         n_orders=n, converged=ratio < tol, tau=tau,
         idx_up=idx_up, idx_down=idx_down)
+    if pad:
+        sol = jax.tree_util.tree_map(lambda x: x[:B0], sol)
+    return sol

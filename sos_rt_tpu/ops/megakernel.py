@@ -334,17 +334,19 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
 
     def ratio_rows(new_top, tot_top, new_bot, tot_bot):
         # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1; pad rows
-        # are 0/0 — mask them out of the max (reference criterion spans
-        # only the real µ grid, main_lambertian.py:311)
-        r_toa = jnp.max(jnp.where(real_c, new_top / tot_top, 0.0),
-                        axis=0, keepdims=True)
-        r_srf = jnp.max(jnp.where(real_c, new_bot / tot_bot, 0.0),
-                        axis=0, keepdims=True)
+        # AND zero-total (degenerate-scene) entries are 0/0 — mask both
+        # out of the max (reference criterion spans only the real µ
+        # grid, main_lambertian.py:311; 0/0 counts as converged)
+        def div(a, b):
+            ok = real_c & (b != 0)
+            return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+        r_toa = jnp.max(div(new_top, tot_top), axis=0, keepdims=True)
+        r_srf = jnp.max(div(new_bot, tot_bot), axis=0, keepdims=True)
         return jnp.maximum(r_toa, r_srf)                     # (1, C)
 
-    one = jnp.ones((M, C), dtype)
-    ratio0 = ratio_rows(one, itotup_ref[0, :, 0:C],
-                        one, itotdn_ref[NG - 1, :, GC - C:GC])
+    # explicit above-tol seed (every block takes at least one step)
+    ratio0 = jnp.full((1, C), 2.0 * tol, dtype)
     n0 = jnp.ones((1, C), dtype)
 
     def cond(carry):

@@ -75,6 +75,14 @@ def _block_cap(L: int, m: int) -> int:
     cap = max(8, int(_PLANE_BUDGET / (L * m * 4)))
     return 1 << (cap.bit_length() - 1)
 
+
+def effective_block(L: int, m: int, block_b: int, interpret: bool) -> int:
+    """The batch block both sweep kernels will actually use — callers
+    must pad B to a multiple of this (grid = B // block truncates!)."""
+    if interpret:
+        return max(1, block_b)
+    return max(1, min(block_b, MAX_COMPILED_BLOCK_B, _block_cap(L, m)))
+
 # pack lane indices
 PK_TAU, PK_DROP, PK_CH1, PK_CH2, PK_R1, PK_R2, PK_HDT_DN, PK_HDT_UP = range(8)
 PK_W = 8

@@ -108,6 +108,16 @@ class SweepStencils:
     taylor_mask: np.ndarray       # of small_cols: |µ|<0.001 → Taylor limit
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def stencils_for(grid) -> SweepStencils:
+    """Per-grid cached stencils (build_stencils costs ~ms of host work —
+    measurable when an eager caller pays it per solve_batch dispatch)."""
+    return build_stencils(grid.mu(), grid.nb_angles)
+
+
 def build_stencils(mu: np.ndarray, nb_angles: int) -> SweepStencils:
     m = nb_angles
     mu_down = np.asarray(mu[:m], dtype=np.float64)

@@ -120,9 +120,9 @@ def mega_small_ok(scenes: Scene, grid: GridSpec) -> bool:
     without small-µ columns.
     """
     from sos_rt_tpu.ops.megakernel import band_covers_small
-    from sos_rt_tpu.ops.sweeps import build_stencils
+    from sos_rt_tpu.ops.sweeps import stencils_for
 
-    stencils = build_stencils(grid.mu(), grid.nb_angles)
+    stencils = stencils_for(grid)
     if stencils.small_cols.size == 0:
         return True
     ok = {c for c in range(4) if band_covers_small(stencils, c)}
@@ -210,7 +210,8 @@ def _band_choices_fn(nb_layers: int):
 @functools.lru_cache(maxsize=32)
 def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
                            engine: str, outputs: str, block_b: int,
-                           p0_batched: bool, allow_small: bool = False):
+                           p0_batched: bool, allow_small: bool = False,
+                           cols_per_block: Optional[int] = None):
     """Pallas engines composed with the mesh: `shard_map` over 'data'.
 
     GSPMD cannot propagate shardings *through* a `pallas_call`, so the
@@ -223,7 +224,8 @@ def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
     if engine == "mega":
         local = lambda s, t: solve_batch_mega(s, t, grid, opts,
                                               outputs=outputs,
-                                              allow_small=allow_small)
+                                              allow_small=allow_small,
+                                              cols_per_block=cols_per_block)
     else:
         local = lambda s, t: solve_batch_fused(s, t, grid, opts,
                                                block_b=block_b)
@@ -304,7 +306,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             outs.append(solve_batch(part, part_tbl, grid, opts, mesh=mesh,
                                     shard_tables=shard_tables,
                                     engine=engine, block_b=block_b,
-                                    outputs=outputs))
+                                    outputs=outputs,
+                                    cols_per_block=cols_per_block))
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         inv = jnp.argsort(perm)
@@ -327,7 +330,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if shard_tables:
             raise ValueError("shard_tables (TP) requires engine='reference'")
         fn = _sharded_engine_solver(grid, opts, mesh, engine, outputs,
-                                    block_b, p0b, allow_small)
+                                    block_b, p0b, allow_small,
+                                    cols_per_block)
         data_sh = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         scene_sh = jax.tree_util.tree_map(lambda _: data_sh, scenes)

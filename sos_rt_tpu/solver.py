@@ -107,10 +107,13 @@ class Solution:
 
 
 def _ratio(in_cur, i_tot, nb_angles):
-    """Convergence criterion (main_lambertian.py:311)."""
+    """Convergence criterion (main_lambertian.py:311); 0/0 → 0 so a
+    degenerate scene's zero-radiance angles count as converged instead
+    of poisoning the max with NaN."""
     m = nb_angles
-    r_toa = jnp.max(in_cur[0, m:] / i_tot[0, m:])
-    r_srf = jnp.max(in_cur[-1, :m] / i_tot[-1, :m])
+    div = lambda a, b: jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0)
+    r_toa = jnp.max(div(in_cur[0, m:], i_tot[0, m:]))
+    r_srf = jnp.max(div(in_cur[-1, :m], i_tot[-1, :m]))
     return jnp.maximum(r_toa, r_srf)
 
 
@@ -301,7 +304,10 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
         n = n + jnp.where(active, 1, 0)
         return in_new, i_tot, ratio, n
 
-    ratio0 = _ratio(jnp.ones_like(i1), i1, M)
+    # explicit above-tol seed (loop must take at least one step);
+    # _ratio(ones, i1) would be inf for any zero I1 entry.  Dtype follows
+    # i1 (scene leaves may be wider than opts.dtype under x64).
+    ratio0 = jnp.asarray(2.0 * opts.tol, i1.dtype)
     carry = (i1, i1, ratio0, jnp.asarray(1, jnp.int32))
     in_last, i_tot, ratio, n = jax.lax.while_loop(cond, body, carry)
 
@@ -328,7 +334,7 @@ def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
 
     buf = jnp.zeros((K,) + i1.shape, dtype).at[0].set(i1)
     valid = jnp.zeros((K,), bool).at[0].set(True)
-    ratio0 = _ratio(jnp.ones_like(i1), i1, M)
+    ratio0 = jnp.asarray(2.0 * opts.tol, i1.dtype)
 
     def body(k, carry):
         in_prev, i_tot, ratio, n, buf, valid = carry

@@ -145,11 +145,16 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
     n_chunks = -(-batch // chunk)
     wall = 0.0
     solved_now = 0
+    solved_cols = 0
     take = lambda x, s: jax.tree_util.tree_map(lambda a: a[s], x)
     for i in range(n_chunks):
         if i in done:
             continue
         sl = slice(i * chunk, min((i + 1) * chunk, batch))
+        part_size = sl.stop - sl.start
+        # a partial final chunk may not divide the bucket count — clamp
+        # to 1 so the sweep stays completable/resumable
+        part_buckets = buckets if part_size % max(buckets, 1) == 0 else 1
         part_tbl = tables
         if p0b:
             part_tbl = dataclasses.replace(
@@ -157,10 +162,11 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
         t0 = time.perf_counter()
         sol = _metrics.block_until_ready(solve_batch(
             take(scenes, sl), part_tbl, preset.grid, preset.opts,
-            engine=engine, outputs=outputs, buckets=buckets,
+            engine=engine, outputs=outputs, buckets=part_buckets,
             block_b=block_b, mesh=mesh))
         dt = time.perf_counter() - t0
         wall += dt
+        solved_cols += part_size
         arrays = _summary_arrays(sol)
         # np.savez appends .npz if missing — keep the suffix on the temp
         tmp = _shard_path(out_dir, i)[:-4] + ".tmp.npz"
@@ -200,7 +206,7 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
                  n_converged=conv, n_unconverged=n_tot - conv)
     if wall > 0 and solved_now:
         m["wall_s"] = round(wall, 4)
-        m["col_per_s"] = round(solved_now * chunk / wall, 1)
+        m["col_per_s"] = round(solved_cols / wall, 1)
     return m
 
 
