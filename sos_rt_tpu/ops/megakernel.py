@@ -345,9 +345,16 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
         r_srf = jnp.max(div(new_bot, tot_bot), axis=0, keepdims=True)
         return jnp.maximum(r_toa, r_srf)                     # (1, C)
 
-    # explicit above-tol seed (every block takes at least one step)
-    ratio0 = jnp.full((1, C), 2.0 * tol, dtype)
-    n0 = jnp.ones((1, C), dtype)
+    # explicit above-tol seed (every block takes at least one step).
+    # Built via a lane iota rather than a constant splat: a splat gets
+    # the fully lane-replicated layout {*,*}, the loop body computes the
+    # carries from real data (layout {*,0}), and current Mosaic refuses
+    # the body→carry relayout ("Invalid relayout: non-singleton logical
+    # dimension is replicated in destination but not in source" — the
+    # r3 fresh-compile break).  The iota pins a concrete lane layout.
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    ratio0 = jnp.where(lane_c >= 0, 2.0 * tol, 0.0).astype(dtype)
+    n0 = jnp.where(lane_c >= 0, 1.0, 0.0).astype(dtype)
 
     def cond(carry):
         ratio, n = carry
