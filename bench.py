@@ -17,14 +17,24 @@ single-column solve latency; on-TPU mega-vs-reference parity
 (max rel err over TOA/surface rows — the compiled-kernel correctness
 artifact, VERDICT r2 item 4).
 
-Robustness: the TPU relay's compile service has minutes-scale variance
-(r2: the same sweep compile measured 123 s and 957 s; the r2 canonical
-"regression" was a relay stall, not a code change — r3 re-measured the
-identical canonical call at 7-9 s compile / 29 ms solve).  Mitigations:
-a persistent compilation cache (.jax_cache, shared across processes and
-rounds), the cheap canonical stage runs FIRST, every stage runs in a
-fresh subprocess with a generous timeout and one retry, and the driver
-exits 0 regardless of secondary-stage failures.
+Robustness (r3 lesson: BENCH_r03 recorded NO metric because every mega
+compile failed fresh and the ladder had no fallback):
+- a COMPILE SMOKE runs first: it traces+lowers+compiles the mega kernel
+  at a tiny shape in ~1 min, so a toolchain break (e.g. the r3 Mosaic
+  "Invalid relayout") is detected by name up front and the ladder skips
+  straight to the fused/reference fallbacks instead of burning four
+  2300 s timeouts;
+- a GUARANTEED-EMIT stage runs before the big ladder: a small sweep
+  whose compile is minutes-bounded; its metric is printed immediately,
+  so the driver always captures a real number even if a later stage (or
+  the driver's own timeout) kills the rest; a better ladder result is
+  emitted after (the driver's parser takes a JSON metric line — both
+  lines carry the same schema, the LAST reflects the best measurement);
+- every stage runs in a fresh subprocess with a hard timeout killing the
+  whole process group (the TPU relay's compile service has minutes-scale
+  variance, and an orphaned TPU-plugin helper wedges the device);
+- a persistent compilation cache (.jax_cache) is shared across processes
+  and rounds — but no stage RELIES on a warm cache.
 """
 from __future__ import annotations
 
@@ -64,6 +74,31 @@ def _sweep_inputs(batch: int):
     return scenes, tables, p.grid
 
 
+def bench_smoke():
+    """Compile-only gate: lower + compile the mega kernel at a tiny
+    shape (B=256, C=128) with a FRESH in-memory cache path — catches
+    Mosaic lowering breaks (r3: 'Invalid relayout') in ~1 min, without
+    masking by the persistent cache (compile goes through the cache but
+    a broken kernel fails before any cache hit can exist for new
+    toolchains).  Prints 'SMOKE OK' on success; any compile error
+    propagates with the Mosaic message in the traceback."""
+    import jax
+
+    from sos_rt_tpu.config import SolverOptions
+    from sos_rt_tpu.fused import solve_batch_mega
+
+    opts = SolverOptions(surface="lambertian", dtype="float32",
+                         max_orders=100, scan_impl="sequential")
+    scenes, tables, grid = _sweep_inputs(256)
+    fn = jax.jit(lambda s, t: solve_batch_mega(
+        s, t, grid, opts, outputs="summary", cols_per_block=128,
+        allow_small=False, sort=False))
+    t0 = time.perf_counter()
+    fn.lower(scenes, tables).compile()
+    log(f"smoke: mega kernel compiled in {time.perf_counter()-t0:.1f}s")
+    print("SMOKE OK", flush=True)
+
+
 def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=64,
                 cols_per_block=None):
     """Measured on v5e (BASELINE.md): within one relay window at
@@ -101,7 +136,7 @@ def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=64,
 
     t0 = time.perf_counter()
     (o_max, o_mean, n_conv), _ = run(0)
-    log(f"sweep compile+first run: {time.perf_counter()-t0:.1f}s; "
+    log(f"sweep[{engine}] compile+first run: {time.perf_counter()-t0:.1f}s; "
         f"orders max={o_max} mean={o_mean:.1f} "
         f"converged={n_conv}/{batch}")
     times = []
@@ -111,8 +146,9 @@ def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=64,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     rate = batch / dt
-    log(f"sweep: {batch} columns in {dt*1e3:.1f} ms -> {rate:,.0f} col/s")
-    return rate
+    log(f"sweep[{engine}]: {batch} columns in {dt*1e3:.1f} ms "
+        f"-> {rate:,.0f} col/s")
+    return rate, grid, engine
 
 
 def bench_canonical():
@@ -144,9 +180,9 @@ def bench_canonical():
     return dt
 
 
-def bench_parity(batch=256):
-    """On-TPU compiled mega kernel vs the reference engine: max rel err
-    over the TOA/surface rows + order-count agreement (the correctness
+def bench_parity(batch=256, engine="mega"):
+    """On-TPU compiled kernel vs the reference engine: max rel err over
+    the TOA/surface rows + order-count agreement (the correctness
     artifact for the hand-rolled kernel numerics — bf16x3 splits,
     in-kernel I₁, join carries — beyond interpret-mode tests)."""
     import jax.numpy as jnp
@@ -158,16 +194,22 @@ def bench_parity(batch=256):
     opts = SolverOptions(surface="lambertian", dtype="float32",
                          max_orders=100, scan_impl="sequential")
     scenes, tables, grid = _sweep_inputs(batch)
-    mega = solve_batch(scenes, tables, grid, opts, engine="mega",
-                       outputs="summary", block_b=64)
+    if engine == "mega":
+        fast = solve_batch(scenes, tables, grid, opts, engine="mega",
+                           outputs="summary", block_b=64)
+        fast_toa, fast_srf = np.asarray(fast.i_toa), np.asarray(fast.i_surface)
+    else:
+        fast = solve_batch(scenes, tables, grid, opts, engine=engine)
+        fast_toa = np.asarray(fast.i_total[:, 0, :])
+        fast_srf = np.asarray(fast.i_total[:, -1, :])
     ref = solve_batch(scenes, tables, grid, opts, engine="reference")
     ref_toa = np.asarray(ref.i_total[:, 0, :])
     ref_srf = np.asarray(ref.i_total[:, -1, :])
     scale = max(np.abs(ref_toa).max(), np.abs(ref_srf).max())
     per_col = np.maximum(
-        np.abs(np.asarray(mega.i_toa) - ref_toa).max(axis=1),
-        np.abs(np.asarray(mega.i_surface) - ref_srf).max(axis=1)) / scale
-    eq = np.asarray(mega.n_orders) == np.asarray(ref.n_orders)
+        np.abs(fast_toa - ref_toa).max(axis=1),
+        np.abs(fast_srf - ref_srf).max(axis=1)) / scale
+    eq = np.asarray(fast.n_orders) == np.asarray(ref.n_orders)
     n_eq = int(eq.sum())
     # branch-flip lanes (the smoothing walk's 1e-4 second-difference
     # threshold is discontinuous; exact ties flip between engines on CPU
@@ -175,21 +217,24 @@ def bench_parity(batch=256):
     # tail; the equal-order-count population is the kernel-numerics
     # signal
     err_eq = float(per_col[eq].max()) if n_eq else float("nan")
-    log(f"tpu mega parity over {batch} columns (TOA+surface rows, vs "
+    log(f"tpu {engine} parity over {batch} columns (TOA+surface rows, vs "
         f"reference engine): order counts equal {n_eq}/{batch}; "
         f"max rel err {per_col.max():.3e} (all), {err_eq:.3e} "
         f"(equal-order columns), p50 {np.median(per_col):.3e}")
     return err_eq
 
 
-def _emit(rate: float):
+def _emit(rate: float, grid=None, engine: str = "mega"):
+    gs = f"{grid.nb_angles}x{grid.nb_layers}" if grid is not None else "64x128"
     print(json.dumps({
-        "metric": ("column-solves/s/chip (config-5 sweep mu0+alb+tau, "
-                   "grid 128x128, 100ppm, f32, summary outputs)"),
+        "metric": (f"column-solves/s/chip (config-5 sweep mu0+alb+tau, "
+                   f"grid {gs}, 100ppm, f32, "
+                   f"{'summary' if engine == 'mega' else 'full'} outputs, "
+                   f"engine={engine})"),
         "value": round(rate, 1),
         "unit": "columns/s",
         "vs_baseline": round(rate / TARGET, 4),
-    }))
+    }), flush=True)
 
 
 def _stage(argv, timeout, retries=1):
@@ -231,28 +276,65 @@ def _stage(argv, timeout, retries=1):
     return None
 
 
+def _stage_metric(argv, timeout, retries=0):
+    """Run a --sweep stage and return its parsed metric dict (or None)."""
+    r = _stage(argv, timeout, retries)
+    if r is None:
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
 def main():
-    # 1. canonical first: cheap (≤ 1 min warm-cache), and a stalled relay
-    #    can then only hurt later stages
+    # 1. compile smoke: is the mega kernel compilable under the current
+    #    toolchain?  (~1 min warm relay; the r3 Mosaic break surfaced
+    #    here as a named failure instead of four dead 2300 s stages)
+    mega_ok = _stage(["--smoke"], timeout=900, retries=1) is not None
+    log(f"mega compile smoke: {'OK' if mega_ok else 'FAILED'}")
+    # 2. canonical: cheap (≤ 1 min warm-cache) secondary latency metric
     _stage(["--canonical"], timeout=720, retries=1)
-    # 2. headline sweep ladder: best config first (cold compile of the
-    #    4-bucket fused graph is ~29 min, warm-cache first call ~4.5 min
-    #    — BASELINE.md), then already-cached simpler configs
-    emitted = False
-    for batch, buckets in ((65536, 4), (65536, 4), (65536, 1), (32768, 1)):
-        r = _stage(["--sweep", str(batch), "--buckets", str(buckets)],
-                   timeout=2300, retries=0)
-        if r is not None:
-            line = (r.stdout.strip().splitlines() or [""])[-1]
-            if line:
-                print(line, flush=True)
-                emitted = True
+    # 3. guaranteed-emit: a small sweep whose cold compile is bounded;
+    #    falls back fused → reference so SOME real metric always parses.
+    #    Its JSON is printed immediately (see module docstring).
+    best = None
+    ladder = ([["--sweep", "16384", "--buckets", "1"]] if mega_ok else []) + [
+        ["--sweep", "16384", "--buckets", "1", "--engine", "fused"],
+        ["--sweep", "2048", "--buckets", "1", "--engine", "reference"],
+    ]
+    for argv in ladder:
+        m = _stage_metric(argv, timeout=1800, retries=0)
+        if m is not None:
+            best = m
+            print(json.dumps(m), flush=True)
+            break
+        log(f"guaranteed stage {argv} produced no metric; trying fallback")
+    # 4. headline ladder (mega only — the fused/reference engines cannot
+    #    approach the target; no point burning their compile time twice)
+    if mega_ok:
+        for batch, buckets in ((65536, 4), (65536, 1), (32768, 1)):
+            m = _stage_metric(["--sweep", str(batch), "--buckets",
+                               str(buckets)], timeout=2300, retries=0)
+            if m is not None:
+                if best is None or m["value"] > best["value"]:
+                    best = m
+                    print(json.dumps(m), flush=True)
                 break
-        log(f"sweep batch={batch} buckets={buckets} failed; retrying")
-    if not emitted:
+            log(f"sweep batch={batch} buckets={buckets} failed; next config")
+    if best is None:
         _emit(0.0)
-    # 3. parity artifact (never hurts the headline)
-    _stage(["--parity"], timeout=1500, retries=0)
+    # 5. parity artifact (never hurts the headline)
+    _stage(["--parity"] + ([] if mega_ok else ["--engine", "fused"]),
+           timeout=1500, retries=0)
+
+
+def _arg(flag, default):
+    return (sys.argv[sys.argv.index(flag) + 1]
+            if flag in sys.argv else default)
 
 
 if __name__ == "__main__":
@@ -261,15 +343,19 @@ if __name__ == "__main__":
         import jax
 
         log(f"devices: {jax.devices()}")
-        bk = (int(sys.argv[sys.argv.index("--buckets") + 1])
-              if "--buckets" in sys.argv else 4)
-        _emit(bench_sweep(batch=int(sys.argv[sys.argv.index("--sweep") + 1]),
-                          reps=3, buckets=bk))
+        rate, grid, engine = bench_sweep(
+            batch=int(_arg("--sweep", 65536)), reps=3,
+            buckets=int(_arg("--buckets", 4)),
+            engine=_arg("--engine", "mega"))
+        _emit(rate, grid, engine)
+    elif "--smoke" in sys.argv:
+        _enable_cache()
+        bench_smoke()
     elif "--canonical" in sys.argv:
         _enable_cache()
         bench_canonical()
     elif "--parity" in sys.argv:
         _enable_cache()
-        bench_parity()
+        bench_parity(engine=_arg("--engine", "mega"))
     else:
         sys.exit(main())

@@ -24,7 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+from sos_rt_tpu.config import (GridSpec, MATMUL_PRECISION, Scene,
+                               SolverOptions)
 from sos_rt_tpu.outputs import toa_net_flux
 from sos_rt_tpu.solver import PhaseTables, solve_column
 
@@ -78,8 +79,13 @@ def toa_net_from_summary(summ, scenes: Scene, grid: GridSpec):
     f0 = jnp.pi / mu0
     scale = _beam_scale("heating", f0, mu0)
     tau_star = summ.tau[:, -1]
-    down_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, :m], mu[:m], w_mu[:m])
-    up_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, m:], mu[m:], w_mu[m:])
+    # full f32 dot precision: forcing is a small difference of two
+    # fluxes, so the default (bf16-ish) TPU dot precision is not enough
+    # (and outputs.flux_up_down, which this mirrors, uses the same)
+    down_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, :m], mu[:m], w_mu[:m],
+                           precision=MATMUL_PRECISION)
+    up_diff = jnp.einsum("bm,m,m->b", summ.i_toa[:, m:], mu[m:], w_mu[m:],
+                         precision=MATMUL_PRECISION)
     flux_down0 = down_diff - scale                      # e^{-0/µ0} = 1
     flux_up0 = (up_diff + jnp.asarray(scenes.grd_alb, dtype) * scale
                 * jnp.exp(-2.0 * tau_star / mu0))

@@ -40,10 +40,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
     """Initialize the JAX distributed runtime for multi-host execution.
 
     Explicit args win; otherwise the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
-    TPU pod's automatic configuration) are used.  Returns True when a
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) are
+    used.  With neither, a TPU pod environment (detected via the
+    TPU_WORKER_HOSTNAMES / MEGASCALE_COORDINATOR_ADDRESS env vars the
+    pod runtime sets) triggers ``jax.distributed.initialize()`` with no
+    args — JAX's own pod auto-configuration.  Returns True when a
     multi-process runtime was initialized, False for the single-process
-    no-op (no coordinator configured anywhere).
+    no-op (no coordinator configured or detected anywhere).
     """
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -54,6 +57,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if coordinator_address is None:
+        if any(os.environ.get(v) for v in
+               ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")):
+            jax.distributed.initialize()   # pod auto-configuration
+            return True
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -115,21 +115,33 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
 
     scenes, tables = build_sweep_batch(preset, batch, seed, mu0_pool)
     p0b = getattr(tables.p0_atm, "ndim", np.ndim(tables.p0_atm)) == 2
+    # per-chip throughput divides by the devices actually used — the
+    # mesh's, not the host's (a single-chip solve on a multi-chip host
+    # must not understate col/s/chip)
+    n_devices = int(mesh.devices.size) if mesh is not None else 1
     if chunk <= 0 or out_dir is None:
         t0 = time.perf_counter()
         sol = _metrics.block_until_ready(solve_batch(
             scenes, tables, preset.grid, preset.opts, engine=engine,
             outputs=outputs, buckets=buckets, block_b=block_b, mesh=mesh))
         m = _metrics.solution_metrics(sol, time.perf_counter() - t0,
-                                      n_devices=len(jax.devices()))
+                                      n_devices=n_devices)
         m["engine"], m["outputs"] = engine, outputs
         return m
 
     os.makedirs(out_dir, exist_ok=True)
     index_path = os.path.join(out_dir, "index.json")
+    # the spec pins everything that shapes a shard's physics/layout —
+    # resuming into an out_dir written under a same-named but modified
+    # preset (different grid/opts) must be rejected, not silently mixed
+    g, o = preset.grid, preset.opts
     spec = {"preset": preset.name, "batch": batch, "seed": seed,
             "mu0_pool": mu0_pool, "chunk": chunk, "engine": engine,
-            "outputs": outputs}
+            "outputs": outputs,
+            "grid": {"nb_angles": g.nb_angles, "nb_layers": g.nb_layers,
+                     "spacing": getattr(g, "spacing", "uniform")},
+            "opts": {"surface": o.surface, "dtype": o.dtype,
+                     "tol": float(o.tol), "max_orders": int(o.max_orders)}}
     done: set[int] = set()
     if resume and os.path.exists(index_path):
         with open(index_path) as f:
@@ -179,7 +191,7 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
         with open(tmp_idx, "w") as f:
             json.dump(index, f)
         os.replace(tmp_idx, index_path)
-        cm = _metrics.solution_metrics(sol, dt)
+        cm = _metrics.solution_metrics(sol, dt, n_devices=n_devices)
         _log(f"shard {i + 1}/{n_chunks}: {cm['batch']} columns in "
              f"{dt:.2f}s ({cm.get('col_per_s', 0):,.0f} col/s), "
              f"orders max {cm['orders_max']}")
