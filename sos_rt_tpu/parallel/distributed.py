@@ -57,10 +57,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if coordinator_address is None:
-        if any(os.environ.get(v) for v in
-               ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")):
-            jax.distributed.initialize()   # pod auto-configuration
-            return True
+        # pod detection: the env vars must look like real host lists —
+        # some runtimes set them to a WARNING sentinel string
+        pod = any(" " not in v for v in
+                  (os.environ.get(k, "").strip() for k in
+                   ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+                  if v)
+        if pod:
+            try:
+                jax.distributed.initialize()   # pod auto-configuration
+                return True
+            except (ValueError, RuntimeError):
+                return False
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
