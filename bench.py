@@ -191,37 +191,46 @@ def bench_parity(batch=256, engine="mega"):
     from sos_rt_tpu.config import SolverOptions
     from sos_rt_tpu.parallel import solve_batch
 
-    opts = SolverOptions(surface="lambertian", dtype="float32",
-                         max_orders=100, scan_impl="sequential")
     scenes, tables, grid = _sweep_inputs(batch)
-    if engine == "mega":
-        fast = solve_batch(scenes, tables, grid, opts, engine="mega",
-                           outputs="summary", block_b=64)
-        fast_toa, fast_srf = np.asarray(fast.i_toa), np.asarray(fast.i_surface)
-    else:
-        fast = solve_batch(scenes, tables, grid, opts, engine=engine)
-        fast_toa = np.asarray(fast.i_total[:, 0, :])
-        fast_srf = np.asarray(fast.i_total[:, -1, :])
-    ref = solve_batch(scenes, tables, grid, opts, engine="reference")
+    ref_opts = SolverOptions(surface="lambertian", dtype="float32",
+                             max_orders=100, scan_impl="sequential")
+    ref = solve_batch(scenes, tables, grid, ref_opts, engine="reference")
     ref_toa = np.asarray(ref.i_total[:, 0, :])
     ref_srf = np.asarray(ref.i_total[:, -1, :])
     scale = max(np.abs(ref_toa).max(), np.abs(ref_srf).max())
-    per_col = np.maximum(
-        np.abs(fast_toa - ref_toa).max(axis=1),
-        np.abs(fast_srf - ref_srf).max(axis=1)) / scale
-    eq = np.asarray(fast.n_orders) == np.asarray(ref.n_orders)
-    n_eq = int(eq.sum())
-    # branch-flip lanes (the smoothing walk's 1e-4 second-difference
-    # threshold is discontinuous; exact ties flip between engines on CPU
-    # and TPU alike — see .claude/skills/verify/SKILL.md) concentrate the
-    # tail; the equal-order-count population is the kernel-numerics
-    # signal
-    err_eq = float(per_col[eq].max()) if n_eq else float("nan")
-    log(f"tpu {engine} parity over {batch} columns (TOA+surface rows, vs "
-        f"reference engine): order counts equal {n_eq}/{batch}; "
-        f"max rel err {per_col.max():.3e} (all), {err_eq:.3e} "
-        f"(equal-order columns), p50 {np.median(per_col):.3e}")
-    return err_eq
+
+    def one(mm):
+        opts = dataclasses.replace(ref_opts, mm=mm)
+        if engine == "mega":
+            fast = solve_batch(scenes, tables, grid, opts, engine="mega",
+                               outputs="summary", block_b=64)
+            fast_toa = np.asarray(fast.i_toa)
+            fast_srf = np.asarray(fast.i_surface)
+        else:
+            fast = solve_batch(scenes, tables, grid, opts, engine=engine)
+            fast_toa = np.asarray(fast.i_total[:, 0, :])
+            fast_srf = np.asarray(fast.i_total[:, -1, :])
+        per_col = np.maximum(
+            np.abs(fast_toa - ref_toa).max(axis=1),
+            np.abs(fast_srf - ref_srf).max(axis=1)) / scale
+        eq = np.asarray(fast.n_orders) == np.asarray(ref.n_orders)
+        n_eq = int(eq.sum())
+        err_eq = float(per_col[eq].max()) if n_eq else float("nan")
+        log(f"tpu {engine} parity (mm={mm or 'default'}) over {batch} "
+            f"columns (TOA+surface rows, vs reference engine): order "
+            f"counts equal {n_eq}/{batch}; max rel err "
+            f"{per_col.max():.3e} (all), {err_eq:.3e} (equal-order "
+            f"columns), p50 {np.median(per_col):.3e}")
+        return err_eq
+
+    # accuracy mode = the kernel-correctness artifact (f32 floor);
+    # default bf16x3 = the documented throughput-mode bound (its dot
+    # residual flips the smoothing walk's 1e-4 threshold occasionally —
+    # see config.SolverOptions.mm)
+    err = one("bf16x5" if engine == "mega" else None)
+    if engine == "mega":
+        one(None)
+    return err
 
 
 def _emit(rate: float, grid=None, engine: str = "mega"):

@@ -12,7 +12,7 @@ driver files (SOS_Aer_main_lambertian.py:22-96; README.md:65-81 documents
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -129,6 +129,19 @@ class SolverOptions:
                       SOS_Aer_main_lambertian.py:311).
     - ``tol``         series truncation criterion (1e-4 = 100 ppm).
     - ``dtype``       compute dtype on device ('float32' | 'float64').
+    - ``mm``          mega-kernel matmul precision mode (None = engine
+                      default: 'bf16x3' for f32, 'highest' for f64).
+                      'bf16x3' (3 MXU passes) is the throughput default:
+                      measured r4 (after the ops/megakernel._split_bf16
+                      excess-precision fix) 116k col/s AND the f32
+                      accuracy floor — p50 1.9e-4 TOA-row error vs the
+                      f64 oracle, identical to the XLA-HIGHEST
+                      reference engine.  'bf16x5' (5 passes, 86k col/s)
+                      and 'highest' (6 XLA passes, 80k col/s) measure
+                      the same p50 — kept as verification modes: a
+                      default-vs-bf16x5 discrepancy isolates dot-path
+                      regressions.  Other engines are unaffected (they
+                      always use MATMUL_PRECISION).
     """
 
     surface: str = "lambertian"
@@ -137,7 +150,10 @@ class SolverOptions:
     dtype: str = "float64"
     scan_impl: str = "associative"   # 'associative' (single column) or
                                      # 'sequential' (large batches)
+    mm: Optional[str] = None
 
     def __post_init__(self):
         if self.surface not in ("lambertian", "specular"):
             raise ValueError(f"unknown surface type: {self.surface!r}")
+        if self.mm not in (None, "bf16x3", "bf16x5", "highest"):
+            raise ValueError(f"unknown mm mode: {self.mm!r}")

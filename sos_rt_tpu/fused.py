@@ -136,6 +136,8 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
+    if mm is None:                      # explicit arg wins over opts.mm
+        mm = opts.mm
     if mm is None:
         mm = "bf16x3" if dtype == jnp.float32 else "highest"
     L, M = grid.nb_layers, grid.nb_angles
@@ -316,7 +318,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if astack is None:     # specular: no surface-integral operator
             zsplit = (jnp.zeros((1, 1), dtype),) * 2
             astk = zsplit
-        elif mm == "bf16x3":
+        elif mm != "highest":
             astk = mk._split_bf16(astack)
         else:
             astk = (jnp.asarray(astack, dtype), jnp.zeros((1, 1), dtype))

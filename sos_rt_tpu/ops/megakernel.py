@@ -122,21 +122,42 @@ BIGF = 1e9
 def _dot3(hi_ref, lo_ref, x, *, mm: str, dtype):
     """Fixed-operator @ x with static precision mode.
 
-    mm='bf16x3': operator pre-split host-side into bf16 hi/lo parts;
+    mm='bf16x3': operator pre-split host-side into bf16 hi/lo parts
+    (see _split_bf16 — the split MUST be computed in integer space);
     x split in-kernel; three DEFAULT-precision MXU passes, f32
-    accumulation (≈1e-7 relative error — between DEFAULT's one pass and
-    HIGHEST's six).  mm='highest': one HIGHEST dot on the f32 operator
-    (lo_ref carries zeros and is ignored).
+    accumulation.  Dropped terms (a·r with r = x's residual beyond two
+    bf16 parts ~2⁻¹⁷, lo@x₂ ~2⁻¹⁷) sit below the f32 accumulation
+    floor over the solve: measured r4 p50 1.9e-4 on TOA rows vs the
+    f64 oracle at the sweep grid — identical to the XLA-HIGHEST
+    reference engine.
+    mm='bf16x5': x split into THREE bf16 parts; five passes
+    (hi@x₁ + hi@x₂ + hi@x₃ + lo@x₁ + lo@x₂), dropping only lo@x₃
+    (~2⁻²⁵).  Measures the same p50 as bf16x3 — kept as a verification
+    mode (a bf16x3-vs-bf16x5 discrepancy isolates dot-path bugs, e.g.
+    the r4 excess-precision split elision).
+    mm='highest': one HIGHEST dot on the f32 operator (lo_ref carries
+    zeros and is ignored; XLA lowers to six bf16 passes).
+
+    The in-kernel x splits use the float round-trip form: Mosaic does
+    NOT elide the bf16 rounding (verified r4 — the direct path reaches
+    the f32 floor), unlike XLA under --xla_allow_excess_precision
+    (see _split_bf16).
     """
     if mm == "highest":
         return jnp.dot(hi_ref[:, :].astype(dtype), x,
                        preferred_element_type=dtype,
                        precision=MATMUL_PRECISION)
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(dtype)).astype(jnp.bfloat16)
     d = functools.partial(jnp.dot, preferred_element_type=dtype)
-    return (d(hi_ref[:, :], x_hi) + d(hi_ref[:, :], x_lo)
-            + d(lo_ref[:, :], x_hi))
+    x1 = x.astype(jnp.bfloat16)
+    r1 = x - x1.astype(dtype)
+    x2 = r1.astype(jnp.bfloat16)
+    if mm == "bf16x5":
+        x3 = (r1 - x2.astype(dtype)).astype(jnp.bfloat16)
+        return (d(hi_ref[:, :], x1) + d(hi_ref[:, :], x2)
+                + d(hi_ref[:, :], x3)
+                + d(lo_ref[:, :], x1) + d(lo_ref[:, :], x2))
+    return (d(hi_ref[:, :], x1) + d(hi_ref[:, :], x2)
+            + d(lo_ref[:, :], x1))
 
 
 def _smooth_up(v, rowf, m: int):
@@ -558,9 +579,24 @@ def band_covers_small(stencils: SweepStencils, choice: int) -> bool:
 
 
 def _split_bf16(a):
+    """Exact bf16 (hi, lo) split of an f32 array — via INTEGER mantissa
+    masking, not a float round-trip.
+
+    The obvious float form ``lo = a - f32(bf16(a))`` is UNSAFE under
+    jit on TPU: XLA's allow-excess-precision pass (enabled fleet-wide
+    via --xla_allow_excess_precision) elides the bf16 rounding inside
+    the fused graph, folding ``lo`` to exactly zero — measured r4: the
+    jitted production path ran with all-zero lo operators (silently a
+    2-pass dot) while eager/direct calls got the true 3-pass split.
+    Masking the low 16 mantissa bits in uint32 space is exact (hi keeps
+    sign+exp+7 mantissa bits = a bf16 value; a − hi is exact in f32)
+    and cannot be elided."""
     a = jnp.asarray(a, jnp.float32)
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f.astype(jnp.bfloat16)          # exact: mantissa pre-truncated
+    lo = (a - hi_f).astype(jnp.bfloat16)
     return hi, lo
 
 
@@ -622,7 +658,7 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     ivup[0] = 0.0     # µ=0⁺ row: gs·ivup ≡ 0 → I(µ=0)=Jₙ rides exactly
     colc[RC_IVUP, :m] = ivup[:, None]
 
-    if mm == "bf16x3":
+    if mm != "highest":
         split = _split_bf16
     else:
         split = lambda a: (jnp.asarray(a, dtype),
@@ -659,7 +695,7 @@ def stack_source_operator(a_atm, a_aer, nb_angles: int, mm: str, dtype):
     wt_aer = jnp.transpose(a_aer)
     w = jnp.concatenate([wt_atm, wt_aer], axis=0)    # (4M, 2M)
     w = _pad_blocks(w, m, mp, 4, 2)
-    if mm == "bf16x3":
+    if mm != "highest":
         return _split_bf16(w)
     return jnp.asarray(w, dtype), jnp.zeros((1, 1), dtype)
 

@@ -173,3 +173,31 @@ def test_mega_small_ok_rejects_thin_tau():
                         tau_star_atm=jnp.full((3,), 0.01),
                         tau_star_aer=jnp.full((3,), 0.005))
     assert not mega_small_ok(scenes, grid)
+
+
+def test_mega_bf16x5_mode_interpret():
+    """The bf16x5 accuracy mode (config.SolverOptions.mm): five-pass
+    split decomposition; in interpret mode the bf16 casts still apply,
+    so results track the f64 reference to the split's ~2⁻²⁵ residual
+    (the throughput mode bf16x3 would sit at ~2⁻¹⁷ here)."""
+    grid = GridSpec(nb_angles=56, nb_layers=64)
+    tables = _tables(grid)
+    # 3 orders: beyond that the split's tiny dot residual can flip the
+    # smoothing walk's 1e-4 threshold (a documented precision-mode
+    # property, not what this test gates)
+    opts = SolverOptions(surface="lambertian", dtype="float64",
+                         max_orders=3, mm="bf16x5")
+    scenes = _scenes(2)
+    ref = solve_batch(scenes, tables, grid,
+                      dataclasses.replace(opts, mm=None))
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True)
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    diff = np.abs(np.asarray(mega.i_total) - np.asarray(ref.i_total))
+    # bulk of the field at the split's dot-residual floor; a small set
+    # of lanes may carry a smoothing-walk threshold flip (bounded, but
+    # orders of magnitude above the floor)
+    frac_off = float((diff > 1e-6 * scale).mean())
+    assert frac_off < 0.015, frac_off
+    assert float(diff.max()) < 1e-3 * scale, float(diff.max())
+    assert float(np.median(diff)) < 1e-8 * scale, float(np.median(diff))

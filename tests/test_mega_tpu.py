@@ -24,13 +24,9 @@ def _tpu_available():
         return False
 
 
-@pytest.mark.tpu
-def test_mega_compiled_matches_reference_on_tpu():
+def _parity(opts_kw, engine_kw):
     import jax
     import jax.numpy as jnp
-
-    if not _tpu_available():
-        pytest.skip("no TPU backend (conftest forces CPU)")
 
     from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
     from sos_rt_tpu.parallel import broadcast_scene, solve_batch
@@ -38,7 +34,7 @@ def test_mega_compiled_matches_reference_on_tpu():
 
     grid = GridSpec(nb_angles=64, nb_layers=128)
     opts = SolverOptions(surface="lambertian", dtype="float32",
-                         max_orders=100)
+                         max_orders=100, **opts_kw)
     tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
                                      aer=("fwc", {}), dtype=jnp.float32)
     B = 256
@@ -50,19 +46,44 @@ def test_mega_compiled_matches_reference_on_tpu():
         tau_star_aer=jax.random.uniform(k2, (B,), minval=0.01, maxval=0.4),
         alb_aer=jax.random.uniform(k3, (B,), minval=0.7, maxval=1.0))
     mega = solve_batch(scenes, tables, grid, opts, engine="mega",
-                       outputs="summary")
-    ref = solve_batch(scenes, tables, grid, opts, engine="reference")
+                       outputs="summary", **engine_kw)
+    ref_opts = SolverOptions(surface="lambertian", dtype="float32",
+                             max_orders=100)
+    ref = solve_batch(scenes, tables, grid, ref_opts, engine="reference")
     ref_toa = np.asarray(ref.i_total[:, 0, :])
     ref_srf = np.asarray(ref.i_total[:, -1, :])
     scale = max(np.abs(ref_toa).max(), np.abs(ref_srf).max())
     per_col = np.maximum(
         np.abs(np.asarray(mega.i_toa) - ref_toa).max(axis=1),
         np.abs(np.asarray(mega.i_surface) - ref_srf).max(axis=1)) / scale
-    # f32 + bf16x3 matmuls vs f32 HIGHEST over tens of orders: the
-    # smoothing walk's 1e-4 second-difference threshold flips on exact
-    # ties (documented engine-independent behavior), giving percent-level
-    # diffs on a few columns — the equal-order-count population is the
-    # kernel-numerics signal (measured r3: 250/256 equal, see BENCH tail)
-    eq = np.asarray(mega.n_orders) == np.asarray(ref.n_orders)
-    assert int(eq.sum()) >= int(0.9 * B), (int(eq.sum()), B)
+    n_eq = int((np.asarray(mega.n_orders) == np.asarray(ref.n_orders)).sum())
+    return per_col, n_eq, B
+
+
+@pytest.mark.tpu
+def test_mega_compiled_matches_reference_on_tpu():
+    """The kernel-correctness gate, DEFAULT (bf16x3) mode: after the
+    r4 _split_bf16 excess-precision fix the compiled kernel's dots sit
+    at the f32 accumulation floor (measured: p50 1.9e-4 vs the
+    reference engine, 255/256 order agreement — 5× assertion margin).
+    A regression here means real kernel numerics drift (the r4 failure
+    mode: XLA elided the host-side bf16 split's lo part, silently
+    degrading every jitted dot to 2 passes)."""
+    if not _tpu_available():
+        pytest.skip("no TPU backend (conftest forces CPU)")
+    per_col, n_eq, B = _parity({}, {})
+    assert n_eq >= int(0.95 * B), (n_eq, B)
     assert float(np.median(per_col)) < 1e-3, float(np.median(per_col))
+
+
+@pytest.mark.tpu
+def test_mega_compiled_bf16x5_agrees_with_default():
+    """Verification mode: bf16x5 (5-pass split) must land where the
+    default does — a divergence between the two isolates dot-path bugs
+    without involving the reference engine (see SolverOptions.mm)."""
+    if not _tpu_available():
+        pytest.skip("no TPU backend (conftest forces CPU)")
+    per_d, n_eq_d, B = _parity({}, {})
+    per_5, n_eq_5, _ = _parity({"mm": "bf16x5"}, {})
+    assert n_eq_5 >= int(0.95 * B), (n_eq_5, B)
+    assert float(np.median(per_5)) < 1e-3, float(np.median(per_5))
