@@ -221,14 +221,21 @@ def _sharded_engine_solver(grid: GridSpec, opts: SolverOptions, mesh: Mesh,
     """
     from sos_rt_tpu.fused import solve_batch_fused, solve_batch_mega
 
+    # interpret from the MESH's devices, not jax.default_backend(): a
+    # CPU-simulated mesh on a machine whose default backend is a TPU
+    # plugin (the dryrun/test environment) must run the kernels in
+    # interpreter mode
+    interpret = mesh.devices.flat[0].platform != "tpu"
     if engine == "mega":
         local = lambda s, t: solve_batch_mega(s, t, grid, opts,
                                               outputs=outputs,
                                               allow_small=allow_small,
-                                              cols_per_block=cols_per_block)
+                                              cols_per_block=cols_per_block,
+                                              interpret=interpret)
     else:
         local = lambda s, t: solve_batch_fused(s, t, grid, opts,
-                                               block_b=block_b)
+                                               block_b=block_b,
+                                               interpret=interpret)
     d = P("data")
     tbl_specs = PhaseTables(p0_atm=d if p0_batched else P(), p_atm=P(),
                             p0_aer=d if p0_batched else P(), p_aer=P())
