@@ -99,7 +99,7 @@ def bench_smoke():
     print("SMOKE OK", flush=True)
 
 
-def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=64,
+def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=128,
                 cols_per_block=None):
     """Measured on v5e (BASELINE.md): within one relay window at
     B=65536/C=128, buckets=4 → 621.6 ms vs buckets=1 → 655.7 ms (+5%);
@@ -311,14 +311,14 @@ def main():
     #    falls back fused → reference so SOME real metric always parses.
     #    Its JSON is printed immediately (see module docstring).
     best = None
-    # fallback order measured r4 on the sweep grid (B=8192): reference
-    # engine with convergence buckets 7.8k col/s, fused 1.5k (its sweep
-    # kernels are lane-starved at 64 angles — they target canonical-
-    # width grids); reference is also the most robust path (pure XLA,
-    # no Mosaic dependency)
+    # fallback order measured r4 on the sweep grid (B=8192, buckets=8):
+    # reference engine 9.8k col/s (pure XLA — no Mosaic dependency, the
+    # most robust path), fused 8.4k (layer-major kernels; its remaining
+    # cost is the lane-axis smoothing reductions — the angle-major mega
+    # kernel is the engine that solves that, hence no third rewrite)
     ladder = ([["--sweep", "16384", "--buckets", "1"]] if mega_ok else []) + [
-        ["--sweep", "8192", "--buckets", "4", "--engine", "reference"],
-        ["--sweep", "8192", "--buckets", "1", "--engine", "fused"],
+        ["--sweep", "8192", "--buckets", "8", "--engine", "reference"],
+        ["--sweep", "8192", "--buckets", "8", "--engine", "fused"],
     ]
     for argv in ladder:
         m = _stage_metric(argv, timeout=1800, retries=0)

@@ -593,9 +593,13 @@ def _split_bf16(a):
     and cannot be elided."""
     a = jnp.asarray(a, jnp.float32)
     bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    # round-to-nearest (ties away) into the bf16 mantissa: +0x8000 then
+    # truncate — a mantissa carry correctly propagates into the exponent
+    # field; matches float bf16 RN except on exact ties (1 ulp on hi,
+    # compensated exactly by lo)
     hi_f = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFF0000), jnp.float32)
-    hi = hi_f.astype(jnp.bfloat16)          # exact: mantissa pre-truncated
+        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f.astype(jnp.bfloat16)          # exact: mantissa pre-rounded
     lo = (a - hi_f).astype(jnp.bfloat16)
     return hi, lo
 
