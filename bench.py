@@ -87,6 +87,11 @@ def bench_smoke():
     from sos_rt_tpu.config import SolverOptions
     from sos_rt_tpu.fused import solve_batch_mega
 
+    if os.environ.get("SOS_BENCH_FORCE_SMOKE_FAIL"):
+        # test hook: simulate a toolchain-broken mega kernel so the
+        # fallback ladder can be exercised end-to-end (VERDICT r3 item
+        # 2's done-criterion)
+        raise RuntimeError("smoke failure forced by SOS_BENCH_FORCE_SMOKE_FAIL")
     opts = SolverOptions(surface="lambertian", dtype="float32",
                          max_orders=100, scan_impl="sequential")
     scenes, tables, grid = _sweep_inputs(256)
