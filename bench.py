@@ -333,9 +333,13 @@ def main():
             break
         log(f"guaranteed stage {argv} produced no metric; trying fallback")
     # 4. headline ladder (mega only — the fused/reference engines cannot
-    #    approach the target; no point burning their compile time twice)
+    #    approach the target; no point burning their compile time twice).
+    #    Best measured operating points r4: B=131072/bk=4 -> 142.3k,
+    #    B=262144/bk=8 -> 143.3k (flat beyond 131072), B=65536/bk=8 ->
+    #    139.7k; C=128 via the bench_sweep default.
     if mega_ok:
-        for batch, buckets in ((65536, 4), (65536, 1), (32768, 1)):
+        for batch, buckets in ((131072, 4), (65536, 8), (65536, 4),
+                               (32768, 1)):
             m = _stage_metric(["--sweep", str(batch), "--buckets",
                                str(buckets)], timeout=2300, retries=0)
             if m is not None:
