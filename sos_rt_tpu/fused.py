@@ -426,6 +426,34 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     a1_atm, a2_atm = a_full_atm[:M], a_full_atm[M:]
     a1_aer, a2_aer = a_full_aer[:M], a_full_aer[M:]
 
+    # matmul precision mode for the Jₙ dots (the dominant FLOPs on
+    # canonical-width grids): None/'highest' = 6-pass XLA HIGHEST (the
+    # fidelity default for this engine); 'bf16x3'/'bf16x5' = the split
+    # decompositions of ops/megakernel._dot3, built on the integer-
+    # masked _split_bf16 (the float round-trip is elided under jit —
+    # see that function)
+    mm = opts.mm if dtype == jnp.float32 else None
+    if mm in ("bf16x3", "bf16x5"):
+        from sos_rt_tpu.ops.megakernel import _split_bf16
+
+        ops_split = [_split_bf16(a) for a in
+                     (a1_atm, a2_atm, a1_aer, a2_aer)]
+
+        def dot_mm(which, x):
+            hi, lo = ops_split[which]
+            x1, x2 = _split_bf16(x)
+            d = functools.partial(jnp.dot, preferred_element_type=dtype)
+            out = d(x1, hi) + d(x2, hi) + d(x1, lo)
+            if mm == "bf16x5":
+                x3 = (x - x1.astype(dtype) - x2.astype(dtype)
+                      ).astype(jnp.bfloat16)
+                out = out + d(x3, hi) + d(x2, lo)
+            return out
+    else:
+        def dot_mm(which, x):
+            a = (a1_atm, a2_atm, a1_aer, a2_aer)[which]
+            return jnp.dot(x, a, precision=MATMUL_PRECISION)
+
     # ---- loop-invariant batched masks ----
     t_idx = jnp.arange(L)
     in_layer = ((t_idx[None, :] >= idx_up[:, None])
@@ -488,9 +516,8 @@ def solve_batch_fused(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                              interpret=interpret)
 
     def source_fn(dn, up):
-        dot = lambda x, y: jnp.dot(x, y, precision=MATMUL_PRECISION)
-        jn_atm = dot(dn, a1_atm) + dot(up, a2_atm)
-        jn_aer = dot(dn, a1_aer) + dot(up, a2_aer)
+        jn_atm = dot_mm(0, dn) + dot_mm(1, up)
+        jn_aer = dot_mm(2, dn) + dot_mm(3, up)
         jn_atm = (alb_atm / 4.0) * jn_atm
         jn_aer = (alb_aer / 4.0) * jn_aer
         return jnp.where(in_layer, wa3 * jn_atm + wr3 * jn_aer, jn_atm)

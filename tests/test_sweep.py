@@ -64,6 +64,26 @@ def test_resume_spec_mismatch_raises(tmp_path, small_preset):
                   outputs="full", chunk=4, out_dir=out, resume=True)
 
 
+def test_resume_rejects_same_name_different_physics(tmp_path, small_preset):
+    """The spec pins grid/opts, not just the preset NAME: resuming into
+    an out_dir written under a same-named but modified preset must be
+    rejected instead of silently mixing shards (advisor r3)."""
+    out = str(tmp_path / "sw")
+    run_sweep(small_preset, 8, seed=1, mu0_pool=2, engine="fused",
+              outputs="full", chunk=4, out_dir=out, stop_after_chunks=1)
+    modified = dataclasses.replace(
+        small_preset, grid=GridSpec(nb_angles=40, nb_layers=48))
+    with pytest.raises(ValueError, match="spec mismatch"):
+        run_sweep(modified, 8, seed=1, mu0_pool=2, engine="fused",
+                  outputs="full", chunk=4, out_dir=out, resume=True)
+    modified2 = dataclasses.replace(
+        small_preset, opts=SolverOptions(surface="specular",
+                                         dtype="float32", max_orders=40))
+    with pytest.raises(ValueError, match="spec mismatch"):
+        run_sweep(modified2, 8, seed=1, mu0_pool=2, engine="fused",
+                  outputs="full", chunk=4, out_dir=out, resume=True)
+
+
 def test_metrics_fields(small_preset):
     m = run_sweep(small_preset, 8, seed=0, mu0_pool=2, engine="fused",
                   outputs="full")
