@@ -578,30 +578,9 @@ def band_covers_small(stencils: SweepStencils, choice: int) -> bool:
             and int(stencils.small_cols.min()) >= m - band)
 
 
-def _split_bf16(a):
-    """Exact bf16 (hi, lo) split of an f32 array — via INTEGER mantissa
-    masking, not a float round-trip.
-
-    The obvious float form ``lo = a - f32(bf16(a))`` is UNSAFE under
-    jit on TPU: XLA's allow-excess-precision pass (enabled fleet-wide
-    via --xla_allow_excess_precision) elides the bf16 rounding inside
-    the fused graph, folding ``lo`` to exactly zero — measured r4: the
-    jitted production path ran with all-zero lo operators (silently a
-    2-pass dot) while eager/direct calls got the true 3-pass split.
-    Masking the low 16 mantissa bits in uint32 space is exact (hi keeps
-    sign+exp+7 mantissa bits = a bf16 value; a − hi is exact in f32)
-    and cannot be elided."""
-    a = jnp.asarray(a, jnp.float32)
-    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
-    # round-to-nearest (ties away) into the bf16 mantissa: +0x8000 then
-    # truncate — a mantissa carry correctly propagates into the exponent
-    # field; matches float bf16 RN except on exact ties (1 ulp on hi,
-    # compensated exactly by lo)
-    hi_f = jax.lax.bitcast_convert_type(
-        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
-    hi = hi_f.astype(jnp.bfloat16)          # exact: mantissa pre-rounded
-    lo = (a - hi_f).astype(jnp.bfloat16)
-    return hi, lo
+from sos_rt_tpu.ops.precision import split_bf16 as _split_bf16  # noqa: E402
+# (integer-masked split — the float round-trip form is elided to lo=0 by
+# XLA's allow-excess-precision pass under jit; see ops/precision.py)
 
 
 def build_static_operators(grid, stencils: SweepStencils, surface: str,

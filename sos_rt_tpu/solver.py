@@ -211,12 +211,23 @@ def _setup_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
     mask_join1 = (t_idx <= idx_down)[:, None]
     mask_join2 = (t_idx < idx_up)[:, None]
 
+    # optional split-dot precision mode (ops/precision.py) — same modes
+    # as the Pallas engines; default (None) keeps the 6-pass HIGHEST
+    # fidelity dots
+    mm = opts.mm if dtype == jnp.dtype(jnp.float32) else None
+    if mm in ("bf16x3", "bf16x5"):
+        from sos_rt_tpu.ops.precision import make_split_dot
+
+        dot_atm = make_split_dot(a_atm, mm, dtype)
+        dot_aer = make_split_dot(a_aer, mm, dtype)
+    else:
+        dot_atm = lambda x: jnp.dot(x, a_atm, precision=MATMUL_PRECISION)
+        dot_aer = lambda x: jnp.dot(x, a_aer, precision=MATMUL_PRECISION)
+
     def source_fn(in_prev):
         with jax.named_scope("sos.source_jn"):
-            jn_atm = (scene.alb_atm / 4.0) * jnp.dot(
-                in_prev, a_atm, precision=MATMUL_PRECISION)
-            jn_aer = (scene.alb_aer / 4.0) * jnp.dot(
-                in_prev, a_aer, precision=MATMUL_PRECISION)
+            jn_atm = (scene.alb_atm / 4.0) * dot_atm(in_prev)
+            jn_aer = (scene.alb_aer / 4.0) * dot_aer(in_prev)
             return jnp.where(in_layer, w_atm * jn_atm + w_aer * jn_aer,
                              jn_atm)
 
