@@ -164,18 +164,33 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
             continue
         sl = slice(i * chunk, min((i + 1) * chunk, batch))
         part_size = sl.stop - sl.start
-        # a partial final chunk may not divide the bucket count — clamp
-        # to 1 so the sweep stays completable/resumable
-        part_buckets = buckets if part_size % max(buckets, 1) == 0 else 1
+        part = take(scenes, sl)
         part_tbl = tables
         if p0b:
             part_tbl = dataclasses.replace(
                 tables, p0_atm=tables.p0_atm[sl], p0_aer=tables.p0_aer[sl])
+        if part_size < chunk:
+            # pad the final partial chunk to the full chunk shape (repeat
+            # the last column) so it reuses the already-compiled solve —
+            # a fresh batch shape means a fresh minutes-scale compile
+            # (measured r4: the 82,496-column tail of a 1e6 sweep cost
+            # 42 s vs 0.93 s per full shard); results are sliced back
+            pad_n = chunk - part_size
+            padf = lambda a: np.concatenate(
+                [a, np.broadcast_to(np.asarray(a)[-1:],
+                                    (pad_n,) + np.shape(a)[1:])])
+            part = jax.tree_util.tree_map(padf, part)
+            if p0b:
+                part_tbl = dataclasses.replace(
+                    part_tbl, p0_atm=padf(part_tbl.p0_atm),
+                    p0_aer=padf(part_tbl.p0_aer))
         t0 = time.perf_counter()
         sol = _metrics.block_until_ready(solve_batch(
-            take(scenes, sl), part_tbl, preset.grid, preset.opts,
-            engine=engine, outputs=outputs, buckets=part_buckets,
+            part, part_tbl, preset.grid, preset.opts,
+            engine=engine, outputs=outputs, buckets=buckets,
             block_b=block_b, mesh=mesh))
+        if part_size < chunk:
+            sol = take(sol, slice(0, part_size))
         dt = time.perf_counter() - t0
         wall += dt
         solved_cols += part_size

@@ -115,3 +115,21 @@ def test_run_sweep_with_mesh(tmp_path, small_preset):
     # f32 preset: sharded compilation differs in fusion choices → last-ulp
     np.testing.assert_allclose(a["i_toa"], b["i_toa"], rtol=1e-5,
                                atol=1e-7)
+
+
+def test_partial_final_chunk_padded(tmp_path, small_preset):
+    """A batch not divisible by chunk: the final partial chunk is padded
+    to the full chunk shape (reusing the compiled solve) and sliced —
+    results equal a one-shot run, shard sizes are honest."""
+    out = str(tmp_path / "sw")
+    m = run_sweep(small_preset, 10, seed=1, mu0_pool=2, engine="fused",
+                  outputs="full", chunk=4, out_dir=out)
+    assert m["complete"] and m["batch"] == 10
+    res = load_sweep(out)
+    assert res["i_toa"].shape[0] == 10
+    out2 = str(tmp_path / "oneshot")
+    run_sweep(small_preset, 10, seed=1, mu0_pool=2, engine="fused",
+              outputs="full", chunk=10, out_dir=out2)
+    ref = load_sweep(out2)
+    np.testing.assert_allclose(res["i_toa"], ref["i_toa"], rtol=1e-6)
+    np.testing.assert_array_equal(res["n_orders"], ref["n_orders"])
