@@ -176,9 +176,11 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
             # (measured r4: the 82,496-column tail of a 1e6 sweep cost
             # 42 s vs 0.93 s per full shard); results are sliced back
             pad_n = chunk - part_size
-            padf = lambda a: np.concatenate(
-                [a, np.broadcast_to(np.asarray(a)[-1:],
-                                    (pad_n,) + np.shape(a)[1:])])
+            import jax.numpy as jnp
+            padf = lambda a: jnp.concatenate(
+                [jnp.asarray(a),
+                 jnp.broadcast_to(jnp.asarray(a)[-1:],
+                                  (pad_n,) + np.shape(a)[1:])])
             part = jax.tree_util.tree_map(padf, part)
             if p0b:
                 part_tbl = dataclasses.replace(
