@@ -64,6 +64,8 @@ def cmd_run(args):
         opts = dataclasses.replace(opts, surface=args.surface)
     if args.dtype:
         opts = dataclasses.replace(opts, dtype=args.dtype)
+    if getattr(args, "mm", None):
+        opts = dataclasses.replace(opts, mm=args.mm)
     if opts.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     scene = _scene_overrides(p.scene, args)
@@ -242,6 +244,9 @@ def cmd_sweep(args):
     from sos_rt_tpu.presets import get_preset
 
     p = get_preset(args.preset)
+    if getattr(args, "mm", None):
+        p = dataclasses.replace(
+            p, opts=dataclasses.replace(p.opts, mm=args.mm))
     batch = args.batch or p.batch or 1024
     engine = args.engine or ("mega" if p.batch else "reference")
     outputs = "full" if (args.full or engine != "mega") else "summary"
@@ -289,6 +294,8 @@ def main(argv=None):
     run.add_argument("--preset", default="eva")
     run.add_argument("--surface", choices=["lambertian", "specular"])
     run.add_argument("--dtype", choices=["float32", "float64"])
+    run.add_argument("--mm", choices=["bf16x3", "bf16x5", "highest"],
+                     help="matmul precision mode (config.SolverOptions.mm)")
     run.add_argument("--nb-angles", type=int, dest="nb_angles")
     run.add_argument("--nb-layers", type=int, dest="nb_layers")
     for f in ("mu0", "grd_alb", "alb_atm", "alb_aer", "tau_star_atm",
@@ -324,6 +331,8 @@ def main(argv=None):
     sw.add_argument("--buckets", type=int, default=1,
                     help="convergence-homogeneous bucketing")
     sw.add_argument("--block-b", type=int, default=16, dest="block_b")
+    sw.add_argument("--mm", choices=["bf16x3", "bf16x5", "highest"],
+                    help="matmul precision mode (config.SolverOptions.mm)")
     sw.add_argument("--chunk", type=int, default=0,
                     help="columns per resumable shard (with --output DIR)")
     sw.add_argument("--resume", action="store_true",
