@@ -321,7 +321,7 @@ def main():
     # most robust path), fused 8.4k (layer-major kernels; its remaining
     # cost is the lane-axis smoothing reductions — the angle-major mega
     # kernel is the engine that solves that, hence no third rewrite)
-    ladder = ([["--sweep", "16384", "--buckets", "1"]] if mega_ok else []) + [
+    ladder = ([["--sweep", "32768", "--buckets", "1"]] if mega_ok else []) + [
         ["--sweep", "8192", "--buckets", "8", "--engine", "reference"],
         ["--sweep", "8192", "--buckets", "8", "--engine", "fused"],
     ]
