@@ -100,3 +100,46 @@ def test_mega_compiled_bf16x5_agrees_with_default():
     per_5, n_eq_5, _ = _parity({"mm": "bf16x5"}, {})
     assert n_eq_5 >= int(0.95 * B), (n_eq_5, B)
     assert float(np.median(per_5)) < 1e-3, float(np.median(per_5))
+
+
+@pytest.mark.tpu
+def test_fused_compiled_matches_reference_on_tpu():
+    """The fused engine's compiled sweep kernels (layer-major, r4) vs
+    the reference engine on hardware — the sibling gate to the mega
+    ones (the fused path is the bench fallback tier and the
+    canonical-grid batch engine)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _tpu_available():
+        pytest.skip("no TPU backend (conftest forces CPU)")
+
+    from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+    from sos_rt_tpu.parallel import broadcast_scene, solve_batch
+    from sos_rt_tpu.solver import PhaseTables
+
+    grid = GridSpec(nb_angles=64, nb_layers=128)
+    opts = SolverOptions(surface="lambertian", dtype="float32",
+                         max_orders=100)
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("fwc", {}), dtype=jnp.float32)
+    B = 256
+    base = broadcast_scene(Scene(), B)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    scenes = dataclasses.replace(
+        base,
+        grd_alb=jax.random.uniform(k1, (B,), maxval=0.9),
+        tau_star_aer=jax.random.uniform(k2, (B,), minval=0.01, maxval=0.4),
+        alb_aer=jax.random.uniform(k3, (B,), minval=0.7, maxval=1.0))
+    fused = solve_batch(scenes, tables, grid, opts, engine="fused")
+    ref = solve_batch(scenes, tables, grid, opts, engine="reference")
+    ref_toa = np.asarray(ref.i_total[:, 0, :])
+    ref_srf = np.asarray(ref.i_total[:, -1, :])
+    scale = max(np.abs(ref_toa).max(), np.abs(ref_srf).max())
+    per_col = np.maximum(
+        np.abs(np.asarray(fused.i_total[:, 0, :]) - ref_toa).max(axis=1),
+        np.abs(np.asarray(fused.i_total[:, -1, :]) - ref_srf).max(axis=1)
+    ) / scale
+    n_eq = int((np.asarray(fused.n_orders) == np.asarray(ref.n_orders)).sum())
+    assert n_eq >= int(0.95 * B), (n_eq, B)
+    assert float(np.median(per_col)) < 1e-3, float(np.median(per_col))
