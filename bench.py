@@ -106,12 +106,11 @@ def bench_smoke():
 
 def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=128,
                 cols_per_block=None):
-    """Measured on v5e (BASELINE.md): within one relay window at
-    B=65536/C=128, buckets=4 → 621.6 ms vs buckets=1 → 655.7 ms (+5%);
-    across windows the same kernel measured 574–656 ms (±15% relay
-    variance).  Best absolute: 114.1k col/s (B=65536/C=128, fast
-    window); B=32768/C=256 → 105.5k; C=512 exceeds the 128 MB VMEM
-    budget."""
+    """Measured on v5e (BASELINE.md, r4): best operating points
+    B=131072/C=128/bk=4 → 142.3k col/s, B=262144/bk=8 → 143.3k (flat
+    beyond 131k), B=65536/bk=8 → 139.7k, B=32768/C=256 → 115.7–117.3k;
+    relay-window variance ±15%; C=512 exceeds the 128 MB VMEM budget
+    and C=192 violates Mosaic's lane-divisibility rule."""
     if cols_per_block is None:
         cols_per_block = 128 if batch >= 65536 else 256
     if batch % buckets:
