@@ -336,9 +336,15 @@ def main():
     #    Best measured operating points r4: B=131072/bk=4 -> 142.3k,
     #    B=262144/bk=8 -> 143.3k (flat beyond 131072), B=65536/bk=8 ->
     #    139.7k; C=128 via the bench_sweep default.
-    if mega_ok:
-        for batch, buckets in ((131072, 4), (65536, 8), (65536, 4),
-                               (32768, 1)):
+    #    A FAILED smoke still gets ONE mega attempt here (after a
+    #    fallback metric is already banked): the relay sporadically
+    #    stalls a whole stage for ~10 min (BASELINE relay notes), and a
+    #    stalled smoke must not lock the round to the 9.8k fallback
+    #    when the kernel itself is fine.
+    configs = ([(131072, 4), (65536, 8), (65536, 4), (32768, 1)]
+               if mega_ok else [(65536, 4)])
+    if mega_ok or best is not None:
+        for batch, buckets in configs:
             m = _stage_metric(["--sweep", str(batch), "--buckets",
                                str(buckets)], timeout=2300, retries=0)
             if m is not None:
