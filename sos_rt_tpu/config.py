@@ -140,8 +140,10 @@ class SolverOptions:
                       and 'highest' (6 XLA passes, 80k col/s) measure
                       the same p50 — kept as verification modes: a
                       default-vs-bf16x5 discrepancy isolates dot-path
-                      regressions.  Other engines are unaffected (they
-                      always use MATMUL_PRECISION).
+                      regressions.  All three engines honor ``mm`` for
+                      float32 (mega defaults to bf16x3; fused/reference
+                      default to XLA HIGHEST when mm is None); float64
+                      always runs at full precision — mm is ignored.
     """
 
     surface: str = "lambertian"

@@ -41,19 +41,35 @@ def split_bf16(a):
     return hi, lo
 
 
+def split_bf16_3(a):
+    """Exact bf16 (x1, x2, x3) split of an f32 array (24-bit mantissa =
+    3 × 8-bit bf16 parts, so x1+x2+x3 reconstructs ``a`` exactly).
+
+    Both rounding levels use the integer-masked form — the float form
+    ``r - f32(bf16(r))`` for the second residual is folded to zero by
+    XLA's allow-excess-precision pass under jit on TPU (the same
+    elision documented above for the first level), which would silently
+    degrade bf16x5 to a 3-pass dot."""
+    a = jnp.asarray(a, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        (bits + np.uint32(0x8000)) & np.uint32(0xFFFF0000), jnp.float32)
+    x2, x3 = split_bf16(a - hi_f)
+    return hi_f.astype(jnp.bfloat16), x2, x3
+
+
 def make_split_dot(a, mm: str, dtype):
     """Return ``dot(x) ≈ x @ a`` in split mode ``mm`` ('bf16x3' or
     'bf16x5'); ``a`` is split once at closure build time."""
     hi, lo = split_bf16(a)
 
     def dot(x):
-        x1, x2 = split_bf16(x)
         d = functools.partial(jnp.dot, preferred_element_type=dtype)
-        out = d(x1, hi) + d(x2, hi) + d(x1, lo)
         if mm == "bf16x5":
-            x3 = (x - x1.astype(dtype) - x2.astype(dtype)
-                  ).astype(jnp.bfloat16)
-            out = out + d(x3, hi) + d(x2, lo)
-        return out
+            x1, x2, x3 = split_bf16_3(x)
+            return (d(x1, hi) + d(x2, hi) + d(x1, lo)
+                    + d(x3, hi) + d(x2, lo))
+        x1, x2 = split_bf16(x)
+        return d(x1, hi) + d(x2, hi) + d(x1, lo)
 
     return dot

@@ -57,9 +57,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if coordinator_address is None:
-        # pod detection: the env vars must look like real host lists —
-        # some runtimes set them to a WARNING sentinel string
-        pod = any(" " not in v for v in
+        # pod detection: the env vars must look like real host lists
+        # (a hostname/host:port contains '.', ':' or ','); some
+        # runtimes set them to single-token sentinels ("UNSET",
+        # "WARNING") which must not trigger initialize() — a missing
+        # coordinator hangs startup, and only ValueError/RuntimeError
+        # are caught below.
+        pod = any(" " not in v and any(c in v for c in ".:,")
+                  for v in
                   (os.environ.get(k, "").strip() for k in
                    ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
                   if v)
