@@ -187,19 +187,35 @@ def cmd_critical_albedo(args):
     import jax
     import jax.numpy as jnp
 
-    from sos_rt_tpu.forcing import critical_albedo
+    from sos_rt_tpu.forcing import critical_albedo, critical_albedo_batch
     from sos_rt_tpu.parallel import broadcast_scene
     from sos_rt_tpu.presets import get_preset
 
     p = get_preset(args.preset)
+    if args.engine == "mega" and p.opts.dtype != "float32":
+        # the production batched path is the f32 engine; the f64
+        # per-column path (--engine column) is the verification twin
+        p = dataclasses.replace(
+            p, opts=dataclasses.replace(p.opts, dtype="float32"))
+        print("[sos] --engine mega: using float32 (production path); "
+              "--engine column keeps the preset dtype", file=sys.stderr)
     if p.opts.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     tables = _build(p, p.opts.dtype)
     taus = np.array([float(x) for x in args.tau_aer.split(",")])
+    if args.num and args.num > len(taus):
+        # densify: geometric grid between the min/max of --tau-aer —
+        # the Haywood-curve batch demo (VERDICT r4 item 3)
+        taus = np.geomspace(taus.min(), max(taus.max(), taus.min() * 1.0001),
+                            args.num)
     t0 = time.perf_counter()
     scenes = dataclasses.replace(broadcast_scene(p.scene, len(taus)),
                                  tau_star_aer=jnp.asarray(taus))
-    albs = np.asarray(critical_albedo(scenes, tables, p.grid, p.opts))
+    if args.engine == "column":
+        albs = np.asarray(critical_albedo(scenes, tables, p.grid, p.opts))
+    else:
+        albs = np.asarray(critical_albedo_batch(scenes, tables, p.grid,
+                                                p.opts, engine=args.engine))
     dt = time.perf_counter() - t0
     results = {float(t): float(a) for t, a in zip(taus, albs)}
     for t, a in results.items():
@@ -312,6 +328,15 @@ def main(argv=None):
     ca.add_argument("--preset", default="eva")
     ca.add_argument("--tau-aer", default="0.120", dest="tau_aer",
                     help="comma-separated τ*_aer values (batched as lanes)")
+    ca.add_argument("--num", type=int, default=0,
+                    help="densify to N geometric τ*_aer lanes between "
+                         "min/max of --tau-aer (Haywood-curve batch mode)")
+    ca.add_argument("--engine", choices=["mega", "reference", "column"],
+                    default="mega",
+                    help="forcing evaluator per bisection step: 'mega' = "
+                         "one batched summary solve (~1e5 col/s, f32), "
+                         "'reference' = batched GSPMD engine, 'column' = "
+                         "per-column vmap solve (f64-capable twin)")
     ca.add_argument("--plot", action="store_true")
     ca.add_argument("--output", "-o")
     ca.set_defaults(fn=cmd_critical_albedo)

@@ -169,3 +169,31 @@ def test_radiative_forcing_batch_summary_path():
             tables, grid, opts))
         for i in range(B)])
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_critical_albedo_batch_matches_column_path():
+    """The production batched bisection (one mega/summary solve per
+    step, baseline hoisted out of the loop — VERDICT r4 item 3) takes
+    the same bisection decisions as the per-column solve_column path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sos_rt_tpu.config import GridSpec, Scene, SolverOptions
+    from sos_rt_tpu.forcing import critical_albedo, critical_albedo_batch
+    from sos_rt_tpu.parallel import broadcast_scene
+    from sos_rt_tpu.solver import PhaseTables
+
+    grid = GridSpec(nb_angles=32, nb_layers=48)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("hg", {"g": 0.7}))
+    B = 3
+    scenes = dataclasses.replace(
+        broadcast_scene(Scene(), B),
+        grd_alb=jnp.linspace(0.05, 0.4, B),
+        tau_star_aer=jnp.linspace(0.05, 0.3, B))
+    fast = np.asarray(critical_albedo_batch(scenes, tables, grid, opts,
+                                            engine="mega"))
+    slow = np.asarray(critical_albedo(scenes, tables, grid, opts))
+    np.testing.assert_allclose(fast, slow, rtol=1e-9, atol=1e-12)
