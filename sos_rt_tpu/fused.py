@@ -78,7 +78,8 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      interpret: bool | None = None, sort: bool = True,
                      mm: str | None = None, ablate: str = "",
                      outputs: str = "full", i1: str = "kernel",
-                     allow_small: bool = False):
+                     allow_small: bool = False,
+                     stream: bool | None = None):
     """Whole-solve Pallas path: the entire order loop runs on-chip.
 
     One kernel invocation per batch; each block of ``cols_per_block``
@@ -107,6 +108,15 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     provably dead (see megakernel.py scope note) — verified eagerly by
     sos_rt_tpu.parallel.mesh.mega_small_ok; without it, grids with
     small-µ columns fall back to the fused path.
+
+    ``stream`` selects the HBM-streaming execution of the same kernel
+    math (ops/megastream.py): half-fields resident in HBM, two
+    grid-pipelined Pallas passes per order, convergence loop at the XLA
+    level.  Default (None): auto-enabled exactly when the whole-field
+    VMEM-resident kernel is infeasible for the grid (e.g. the canonical
+    501×800 production grid, SOS_Aer_main_lambertian.py:33,57 — the
+    VERDICT r4 item-1 path, previously a fused-engine fallback at ~300
+    col/s).  Forces ``i1='host'``.
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -132,12 +142,16 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                                cols_per_block=cols_per_block,
                                interpret=interpret, sort=False,
                                mm=mm, ablate=ablate, outputs=outputs, i1=i1,
-                               allow_small=allow_small)
+                               allow_small=allow_small, stream=stream)
         return jax.tree_util.tree_map(lambda x: x[inv], sol)
 
     dtype = jnp.dtype(opts.dtype)
     if mm is None:                      # explicit arg wins over opts.mm
-        mm = opts.mm
+        # opts.mm only applies to f32 — bf16-splitting f64 operators
+        # would silently destroy the precision the user asked for (the
+        # fused/reference engines guard the same way); the explicit
+        # mm= argument is kept unguarded for tests.
+        mm = opts.mm if dtype == jnp.float32 else None
     if mm is None:
         mm = "bf16x3" if dtype == jnp.float32 else "highest"
     L, M = grid.nb_layers, grid.nb_angles
@@ -157,17 +171,30 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             fit = int(budget / (L * MP * 4 * 8))
             cols_per_block = max(4, min(128, 1 << max(0, fit.bit_length() - 1)))
     C = min(cols_per_block, B) if interpret else cols_per_block
+    if stream is None:
+        # Whole-field viability at the default/requested C decides the
+        # execution strategy: blocked lane dims must be multiples of 128
+        # (Mosaic) and narrow blocks waste ≥75% of each vreg — grids
+        # whose whole field cannot fit VMEM at C ≥ 32 (e.g. the
+        # canonical 501×800 at ANY C: 800·504·C·4·8 planes) run the
+        # HBM-STREAMING variant of the same kernel math instead
+        # (ops/megastream.py; until r4 this fell back to the fused
+        # engine at ~300 col/s — VERDICT r4 item 1).
+        if interpret:
+            stream = False
+        else:
+            g_ok0 = [d for d in (16, 8, 4, 2, 1)
+                     if L % d == 0 and d * C <= 1024 and (d * C) % 128 == 0]
+            stream = C < 32 or not g_ok0
+    stream = bool(stream)
+    if stream:
+        i1 = "host"         # the streamed passes read I₁ from HBM planes
+        if cols_per_block is None:
+            C = min(B, 64) if interpret else 128
     if not interpret:
-        # Compiled-path viability: blocked lane dims must be multiples
-        # of 128 (Mosaic) and narrow blocks waste ≥75% of each vreg —
-        # grids whose whole field cannot fit VMEM at C ≥ 32 (e.g. the
-        # canonical 501×800 at ANY C: 800·504·C·4·8 planes) stream
-        # through the fused path instead.  The canonical-grid batched
-        # roofline is matmul-bound (~10 GFLOP/col/order) either way —
-        # see BASELINE.md.
         g_ok = [d for d in (16, 8, 4, 2, 1)
                 if L % d == 0 and d * C <= 1024 and (d * C) % 128 == 0]
-        if C < 32 or not g_ok:
+        if not g_ok or (not stream and C < 32):
             sol = solve_batch_fused(scenes, tables, grid, opts)
             return _to_summary(sol) if outputs == "summary" else sol
     pad = (-B) % C
@@ -327,6 +354,33 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     else:
         call_kw = dict(i1dn=half_to_lanes(i1t[:, :, :M]),
                        i1up=half_to_lanes(i1t[:, :, M:]))
+    if stream:
+        from sos_rt_tpu.ops import megastream as ms
+
+        res = ms.stream_order_loop(
+            pack, cpar, ops, ws,
+            half_to_lanes(i1t[:, :, :M]), half_to_lanes(i1t[:, :, M:]),
+            nb_angles=M, tol=float(opts.tol),
+            max_orders=int(opts.max_orders), cols_per_block=C, mm=mm,
+            interpret=interpret, outputs=outputs, ablate=ablate)
+        stats = res[-1]
+        n_orders = stats[mk.ST_N].astype(jnp.int32)
+        converged = stats[mk.ST_CONV] > 0.5
+        if outputs == "summary":
+            return SweepSummary(
+                i_toa=jnp.concatenate([res[0][:M].T, res[1][:M].T],
+                                      axis=1)[:B],
+                i_surface=jnp.concatenate([res[2][:M].T, res[3][:M].T],
+                                          axis=1)[:B],
+                n_orders=n_orders[:B], converged=converged[:B],
+                tau=tau[:B], idx_up=idx_up[:B], idx_down=idx_down[:B])
+        i_total = jnp.concatenate(
+            [half_from_lanes(res[0]), half_from_lanes(res[1])], axis=2)[:B]
+        return Solution(i_total=i_total, i1=jnp.swapaxes(i1t, 0, 1)[:B],
+                        n_orders=n_orders[:B], converged=converged[:B],
+                        tau=tau[:B], idx_up=idx_up[:B],
+                        idx_down=idx_down[:B])
+
     if outputs == "summary":
         toadn, toaup, srfdn, srfup, stats = mk.mega_call(
             pack, cpar, ops, ws,

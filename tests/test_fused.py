@@ -35,6 +35,7 @@ def _scenes(batch):
 
 
 @pytest.mark.parametrize("surface", ["lambertian", "specular"])
+@pytest.mark.slow
 def test_fused_matches_reference(surface):
     grid = GridSpec(nb_angles=51, nb_layers=64)
     tables = _tables(grid)
@@ -51,6 +52,7 @@ def test_fused_matches_reference(surface):
                                rtol=1e-9, atol=1e-11 * scale)
 
 
+@pytest.mark.slow
 def test_fused_small_mu_grid():
     """M=201 activates the |µ|<0.01 windowed columns."""
     grid = GridSpec(nb_angles=201, nb_layers=48)
@@ -66,6 +68,7 @@ def test_fused_small_mu_grid():
                                rtol=1e-9, atol=1e-11 * scale)
 
 
+@pytest.mark.slow
 def test_fused_ragged_batch_padded():
     """B not divisible by the kernel block must NOT drop trailing
     columns (the Pallas grid = B // block truncates; regression: B=10

@@ -32,6 +32,7 @@ def test_gl_grid_unknown_spacing_rejected():
         GridSpec(nb_angles=16, nb_layers=16, spacing="chebyshev")
 
 
+@pytest.mark.slow
 def test_solver_converges_on_gl_grid():
     grid = GridSpec(nb_angles=81, nb_layers=64, spacing="gauss")
     opts = SolverOptions(surface="lambertian", dtype="float64")
@@ -61,6 +62,7 @@ def test_solver_converges_on_gl_grid():
     assert abs(f_g - f_u) / abs(f_u) < 0.05, (f_g, f_u)
 
 
+@pytest.mark.slow
 def test_gl_grid_matches_oracle():
     """Full oracle parity on GL nodes: the JAX solver on a GL grid must
     match the NumPy oracle run on the SAME nodes (grid-agnostic

@@ -7,6 +7,8 @@ import pytest
 from sos_rt_tpu.ops.sweeps import _affine_scan
 from sos_rt_tpu.parallel.layer_scan import sharded_affine_scan
 
+pytestmark = pytest.mark.slow  # >=10 s each: full-tier only (see README)
+
 
 @pytest.fixture()
 def mesh8():

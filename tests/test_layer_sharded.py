@@ -18,6 +18,8 @@ from sos_rt_tpu.parallel.layer_sharded import (
 )
 from sos_rt_tpu.solver import PhaseTables, solve_column
 
+pytestmark = pytest.mark.slow  # >=10 s each: full-tier only (see README)
+
 
 def _mesh(n=8):
     devs = jax.devices()

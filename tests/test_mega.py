@@ -35,6 +35,7 @@ def _scenes(batch):
 
 
 @pytest.mark.parametrize("surface", ["lambertian", "specular"])
+@pytest.mark.slow
 def test_mega_matches_reference(surface):
     grid = GridSpec(nb_angles=56, nb_layers=64)
     tables = _tables(grid)
@@ -52,6 +53,7 @@ def test_mega_matches_reference(surface):
     assert bool(jnp.all(mega.converged))
 
 
+@pytest.mark.slow
 def test_mega_pads_ragged_batch():
     """B not divisible by cols_per_block exercises the pad/trim path."""
     grid = GridSpec(nb_angles=56, nb_layers=64)
@@ -67,6 +69,7 @@ def test_mega_pads_ragged_batch():
                                rtol=1e-9, atol=1e-11 * scale)
 
 
+@pytest.mark.slow
 def test_mega_summary_matches_full():
     """outputs='summary' returns exactly the full solve's TOA/surface
     rows and stats (the accumulators just stay in VMEM)."""
@@ -88,6 +91,7 @@ def test_mega_summary_matches_full():
                                   np.asarray(full.i_total[:, -1, :]))
 
 
+@pytest.mark.slow
 def test_mega_summary_fallback_small_mu_grid():
     """summary mode on a mega-unsupported grid delegates to the fused
     path and reduces its Solution."""
@@ -120,6 +124,7 @@ def test_mega_falls_back_on_small_mu_grid():
 
 
 @pytest.mark.parametrize("surface", ["lambertian", "specular"])
+@pytest.mark.slow
 def test_mega_odd_angle_count_padded(surface):
     """M=53 (not a multiple of 8) exercises the angle-padding path —
     inert pad rows must leave every real row bit-identical in effect."""
@@ -138,6 +143,7 @@ def test_mega_odd_angle_count_padded(surface):
                                rtol=1e-9, atol=1e-11 * scale)
 
 
+@pytest.mark.slow
 def test_mega_small_mu_grid_with_band_coverage():
     """M=201 (one |µ|<0.01 column) with τ refs in the band-2 regime:
     the µ→0⁻ polyfit band overwrites the small set in BOTH paths, so
@@ -175,6 +181,7 @@ def test_mega_small_ok_rejects_thin_tau():
     assert not mega_small_ok(scenes, grid)
 
 
+@pytest.mark.slow
 def test_mega_bf16x5_mode_interpret():
     """The bf16x5 accuracy mode (config.SolverOptions.mm): five-pass
     split decomposition; in interpret mode the bf16 casts still apply,

@@ -34,6 +34,7 @@ def _solve(grid, opts, scene):
     return sol
 
 
+@pytest.mark.slow
 def test_small_mu_grid_f32_no_nans(nan_gate):
     """M=151 has |µ| < 0.01 columns → exercises the windowed
     prefix-difference + Taylor branch + polyfit band under the gate."""

@@ -137,6 +137,7 @@ def test_per_order_fields(sol_scene):
     assert np.all(np.abs(np.asarray(dif)) <= 1.0)
 
 
+@pytest.mark.slow
 def test_radiative_forcing_batch_summary_path():
     """Batched ΔF via the mega/summary engines equals the per-column
     reference forcing (two solves per column; only TOA rows used)."""
@@ -171,6 +172,7 @@ def test_radiative_forcing_batch_summary_path():
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_critical_albedo_batch_matches_column_path():
     """The production batched bisection (one mega/summary solve per
     step, baseline hoisted out of the loop — VERDICT r4 item 3) takes

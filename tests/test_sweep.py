@@ -30,6 +30,7 @@ def test_build_sweep_batch_deterministic(small_preset):
     assert np.asarray(t1.p0_atm).shape[0] == 8      # gathered per column
 
 
+@pytest.mark.slow
 def test_kill_and_resume(tmp_path, small_preset):
     """A sweep killed mid-run resumes from its shards: completed chunks
     are not recomputed, and the merged result equals a one-shot run."""
@@ -95,6 +96,7 @@ def test_metrics_fields(small_preset):
     assert json.dumps(m)                           # JSON-serializable
 
 
+@pytest.mark.slow
 def test_run_sweep_with_mesh(tmp_path, small_preset):
     """Chunked resumable sweep composed with a device mesh: shard files
     equal the unmeshed run's."""
