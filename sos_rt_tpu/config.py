@@ -47,9 +47,14 @@ class GridSpec:
     of each half at Gauss–Legendre nodes mapped to (−1,0)/(0,1) — nodes
     cluster toward the grazing-angle endpoints where the radiance varies
     fastest.  All quadratures stay trapezoid-on-the-grid (the reference's
-    integration semantics), so every solver path works unchanged; the
-    mega engine declines GL grids (non-uniform up-µ) and the fused /
-    reference engines handle them.
+    integration semantics), so every solver path works unchanged.  The
+    mega kernels accept any µ spacing (the smoothing-walk blend loads
+    the per-row µ table, ops/megakernel.py RC_MUUP); note GL grids
+    large enough to place nodes below MU_THRESHOLD (~M ≥ 16) need the
+    windowed small-µ machinery — GL puts ~6.4% of nodes below the
+    threshold vs the 6% polyfit band, so the band-coverage shortcut
+    (mesh.mega_small_ok) structurally never applies and those grids
+    run the fused/reference engines.
     """
 
     nb_angles: int = 501

@@ -160,6 +160,7 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     w_mu_np = np.asarray(grid.trapz_weights(), np.float64)
     w_mu = jnp.asarray(w_mu_np, dtype)
     B = jnp.shape(jnp.asarray(scenes.mu0))[0]
+    user_cpb = cols_per_block      # None = caller left the block size to us
     if cols_per_block is None:
         if interpret:
             cols_per_block = min(B, 64)
@@ -189,7 +190,11 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     stream = bool(stream)
     if stream:
         i1 = "host"         # the streamed passes read I₁ from HBM planes
-        if cols_per_block is None:
+        if user_cpb is None:
+            # the whole-field VMEM heuristic above does NOT apply to the
+            # streamed execution (fields live in HBM) — use a full lane
+            # tile of columns (r5 bug: reusing the heuristic's C=4 made
+            # g_ok empty and silently fell back to the fused engine)
             C = min(B, 64) if interpret else 128
     if not interpret:
         g_ok = [d for d in (16, 8, 4, 2, 1)

@@ -48,8 +48,9 @@ between t₀ and t, so the exponential is maintained as a running
 product of per-step attenuations (q ← q·a_t) and d is captured from
 the smoothing delta at the join layer itself.
 
-Scope (r3 — extended to the canonical grid): band_max ≤ 32 and uniform
-up-µ spacing.  Any angle count is supported — the angle axis is padded
+Scope (r3 — extended to the canonical grid; r5 — any µ spacing incl.
+Gauss–Legendre via the RC_MUUP blend table): band_max ≤ 32.  Any angle
+count is supported — the angle axis is padded
 to a multiple of 8 (sublane tiling) with inert rows (zero operators,
 unit attenuations; `nb_angles` stays the REAL count for masks, the
 smoothing-walk bounds and the convergence rows).  Grids with |µ| <
@@ -107,10 +108,13 @@ CP_CONST = 1       # I₁ Lambertian surface constant ρ·e^{-τ*/µ0}/4
 CP_W = 8
 
 # colc row indices ((RC_H, M, 128) per-angle constants, lane-replicated);
+# RC_MUUP holds the raw up-µ values (the smoothing-walk blend weight is
+# µ_k/µ_idx — reference semantics, any µ spacing incl. Gauss–Legendre);
 # rows RC_PKA/RC_PKR (in-kernel I₁ only) are the excised-singularity
 # columns pm[µ'=µ]·w from first_order_mega_inputs' colc_pk
-RC_EMU_DN, RC_EMU_UP, RC_IVDN, RC_IVUP, RC_PKA, RC_PKR = range(6)
-RC_H = 4
+(RC_EMU_DN, RC_EMU_UP, RC_IVDN, RC_IVUP, RC_MUUP,
+ RC_PKA, RC_PKR) = range(7)
+RC_H = 5
 
 # stats sublane-row indices (per column outputs, (ST_H, C))
 ST_N, ST_CONV, ST_RATIO = range(3)
@@ -160,17 +164,19 @@ def _dot3(hi_ref, lo_ref, x, *, mm: str, dtype):
             + d(lo_ref[:, :], x1))
 
 
-def _smooth_up(v, rowf, m: int):
+def _smooth_up(v, rowf, m: int, murow):
     """µ→0⁺ smoothing walk on an up-half tile (M_pad, N), angles on
     sublanes; ``m`` is the REAL angle count (rows ≥ m are inert pads).
 
     Replicates ops/sweeps.py::smooth_up_rows (main_lambertian.py:405-411):
     walk rows 1..m-3 (µ indices m+1..2m-3) for the first second
     difference ≤ 1e-4, blend rows (0, idx) linearly in µ between v[0]
-    and v[idx].  The blend weight µ_k/µ_idx is evaluated closed-form as
-    k/idx — exact for the reference's uniform up-µ grid
-    (SOS_Aer_main_lambertian.py:59-61, enforced by ``mega_supported``).
-    Reductions run along sublanes (vreg trees), not lanes.
+    and v[idx].  The blend weight is µ_k/µ_idx with µ_idx recovered by
+    the same one-hot reduction as the blend value — ``murow`` is the
+    (M, 1) raw up-µ column (colc row RC_MUUP), so any µ spacing works
+    (the r4 kernel evaluated k/idx closed-form, which pinned it to
+    uniform grids — VERDICT r4 item 6).  Reductions run along sublanes
+    (vreg trees), not lanes.
     """
     M = v.shape[0]
     v1 = pltpu.roll(v, M - 1, 0)     # v1[l] = v[l+1] (wrap masked below)
@@ -181,8 +187,9 @@ def _smooth_up(v, rowf, m: int):
     idxf = jnp.minimum(first, m - 3) + 1.0
     onehot = (rowf == idxf).astype(v.dtype)
     i_val = jnp.sum(v * onehot, axis=0, keepdims=True)
+    mu_idx = jnp.sum(murow * onehot, axis=0, keepdims=True)   # (1, N) > 0
     base = v[0:1, :]
-    weight = rowf / idxf
+    weight = murow / mu_idx
     blended = (1.0 - weight) * base + weight * i_val
     do = (rowf >= 1.0) & (rowf < idxf)
     return jnp.where(do, blended, v)
@@ -501,7 +508,8 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
                     if "nosmooth" in ab:
                         sm = f
                     else:
-                        sm = _smooth_up(f, rowf_c, nb_angles)
+                        sm = _smooth_up(f, rowf_c, nb_angles,
+                                        colc_ref[RC_MUUP, :, 0:1])
                     d = sm - f
                     q1 = jnp.where(r1row[:, sl] > 0.5, d, q1)
                     q2 = jnp.where(r2row[:, sl] > 0.5, d, q2)
@@ -550,17 +558,14 @@ def pad_angles(m: int) -> int:
 
 def mega_supported(grid, stencils: SweepStencils,
                    allow_small: bool = False) -> bool:
-    """Static eligibility: band fits the slots and the up-µ grid is
-    uniform (the in-kernel smoothing walk evaluates its blend weight
-    µ_k/µ_idx closed-form as k/idx).  Any angle count is handled by
-    padding (see module docstring).  Grids with small-µ columns need
-    ``allow_small=True`` — granted by the eager per-column band-coverage
-    check (sos_rt_tpu.parallel.mesh.mega_small_ok)."""
-    mu_up = np.asarray(grid.mu(), np.float64)[grid.nb_angles:]
-    d = np.diff(mu_up)
-    uniform = bool(np.allclose(d, d[0], rtol=1e-12, atol=1e-15))
+    """Static eligibility: the polyfit band must fit the slots.  Any
+    angle count is handled by padding and any µ spacing (incl. the
+    Gauss–Legendre option, config.GridSpec.spacing) by the RC_MUUP
+    smoothing-blend table (see module docstring).  Grids with small-µ
+    columns need ``allow_small=True`` — granted by the eager per-column
+    band-coverage check (sos_rt_tpu.parallel.mesh.mega_small_ok)."""
     return ((stencils.small_cols.size == 0 or allow_small)
-            and stencils.band_max <= SLOT_CAP and uniform)
+            and stencils.band_max <= SLOT_CAP)
 
 
 def band_covers_small(stencils: SweepStencils, choice: int) -> bool:
@@ -640,6 +645,7 @@ def build_static_operators(grid, stencils: SweepStencils, surface: str,
     ivup = 1.0 / mu_up_safe
     ivup[0] = 0.0     # µ=0⁺ row: gs·ivup ≡ 0 → I(µ=0)=Jₙ rides exactly
     colc[RC_IVUP, :m] = ivup[:, None]
+    colc[RC_MUUP, :m] = mu_up[:, None]   # smoothing blend µ table
 
     if mm != "highest":
         split = _split_bf16

@@ -69,6 +69,7 @@ from sos_rt_tpu.ops.megakernel import (
     RC_EMU_UP,
     RC_IVDN,
     RC_IVUP,
+    RC_MUUP,
     _dot3,
     _smooth_up,
 )
@@ -217,7 +218,8 @@ def _passB_kernel(pack_ref, sdn_ref, jnup_ref, cpar_ref, colc_ref,
             if "nosmooth" in ab:
                 sm = f
             else:
-                sm = _smooth_up(f, rowf_c, nb_angles)
+                sm = _smooth_up(f, rowf_c, nb_angles,
+                                colc_ref[RC_MUUP, :, 0:1])
             d = sm - f
             q1 = jnp.where(r1row[:, sl] > 0.5, d, q1)
             q2 = jnp.where(r2row[:, sl] > 0.5, d, q2)
@@ -347,6 +349,8 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
 
         def cond(carry):
             ratio = carry[4]
+            if "sccond" in ab:
+                return carry[5][0, 0] < max_orders
             if "noconv" in ab:
                 return jnp.max(carry[5]) < max_orders
             return jnp.any(ratio >= tol) & (jnp.max(carry[5]) < max_orders)
@@ -363,10 +367,11 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
                 fdn2, fup2 = sdn, jnup
             else:
                 fdn2, fup2 = passB(pack_b, cpar_b, sdn, jnup)
-            t_dn = t_dn + active * fdn2[0][:, 0:C]
-            t_up = t_up + active * fup2[0][:, 0:C]
-            s_dn = s_dn + active * fdn2[NG - 1][:, last]
-            s_up = s_up + active * fup2[NG - 1][:, last]
+            if "notiles" not in ab:
+                t_dn = t_dn + active * fdn2[0][:, 0:C]
+                t_up = t_up + active * fup2[0][:, 0:C]
+                s_dn = s_dn + active * fdn2[NG - 1][:, last]
+                s_up = s_up + active * fup2[NG - 1][:, last]
             if full:
                 ag = jnp.tile(active, (1, G))            # (1, GC)
                 acc = (acc[0] + ag * fdn2, acc[1] + ag * fup2)

@@ -63,6 +63,47 @@ def test_solver_converges_on_gl_grid():
 
 
 @pytest.mark.slow
+def test_mega_matches_reference_on_gl_grid():
+    """Mega engine on a Gauss–Legendre grid (VERDICT r4 item 6): the
+    RC_MUUP smoothing-blend µ table replaces the closed-form k/idx
+    weight, so mega_supported accepts non-uniform up-µ; per-column
+    results must match the reference engine exactly (f64 interpret).
+
+    M=12 GL has no |µ| < 0.01 nodes, so mega is eligible without the
+    band-coverage grant.  Larger GL grids DO carry small-µ nodes and
+    the polyfit band structurally cannot cover them (GL places ~6.4%
+    of nodes below the threshold vs the 6% band width), so they run
+    the fused/reference engines — see mega_small_ok."""
+    import dataclasses
+
+    from sos_rt_tpu.fused import solve_batch_mega
+    from sos_rt_tpu.ops.sweeps import stencils_for
+    from sos_rt_tpu.ops.megakernel import mega_supported
+    from sos_rt_tpu.parallel import broadcast_scene, solve_batch
+
+    grid = GridSpec(nb_angles=12, nb_layers=64, spacing="gauss")
+    stencils = stencils_for(grid)
+    assert stencils.small_cols.size == 0
+    assert mega_supported(grid, stencils)
+    tables = PhaseTables.from_models(grid, 0.5, atm=("rayleigh", {}),
+                                     aer=("hg", {"g": 0.7}))
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = dataclasses.replace(
+        broadcast_scene(Scene(), 3),
+        grd_alb=jnp.linspace(0.0, 0.8, 3),
+        tau_star_aer=jnp.linspace(0.1, 0.35, 3))
+    ref = solve_batch(scenes, tables, grid, opts)
+    mega = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=3,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(mega.n_orders),
+                                  np.asarray(ref.n_orders))
+    scale = float(jnp.max(jnp.abs(ref.i_total)))
+    np.testing.assert_allclose(np.asarray(mega.i_total),
+                               np.asarray(ref.i_total),
+                               rtol=1e-9, atol=1e-11 * scale)
+
+
+@pytest.mark.slow
 def test_gl_grid_matches_oracle():
     """Full oracle parity on GL nodes: the JAX solver on a GL grid must
     match the NumPy oracle run on the SAME nodes (grid-agnostic
