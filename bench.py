@@ -201,7 +201,7 @@ def bench_canonical():
     from sos_rt_tpu.fused import solve_batch_mega
     from sos_rt_tpu.parallel import broadcast_scene
 
-    B = 128
+    B = 256
     scenes = dataclasses.replace(
         broadcast_scene(Scene(), B),
         grd_alb=jnp.linspace(0.05, 0.6, B),

@@ -276,7 +276,8 @@ def cmd_sweep(args):
         p, batch, seed=args.seed, mu0_pool=mu0_pool, engine=engine,
         outputs=outputs, buckets=args.buckets, block_b=args.block_b,
         chunk=chunk, out_dir=args.output,
-        resume=args.resume, mesh=mesh, log=log)
+        resume=args.resume, mesh=mesh, log=log,
+        save_orders=args.save_orders)
     m["preset"], m["batch_requested"] = args.preset, batch
     if "col_per_s" in m:
         log(f"{batch} columns: {m.get('wall_s', 0):.2f}s "
@@ -356,6 +357,12 @@ def main(argv=None):
     sw.add_argument("--buckets", type=int, default=1,
                     help="convergence-homogeneous bucketing")
     sw.add_argument("--block-b", type=int, default=16, dest="block_b")
+    sw.add_argument("--save-orders", action="store_true",
+                    dest="save_orders",
+                    help="record per-order TOA/surface rows + validity "
+                         "per column in the shard files (the reference's"
+                         " I_saved read-set; runs the per-column "
+                         "reference engine — slower than mega)")
     sw.add_argument("--mm", choices=["bf16x3", "bf16x5", "highest"],
                     help="matmul precision mode (config.SolverOptions.mm)")
     sw.add_argument("--chunk", type=int, default=0,

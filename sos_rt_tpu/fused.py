@@ -196,6 +196,14 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             # tile of columns (r5 bug: reusing the heuristic's C=4 made
             # g_ok empty and silently fell back to the fused engine)
             C = min(B, 64) if interpret else 128
+        elif not interpret:
+            # C > 128 gives no extra lanes (G shrinks to keep G·C ≤
+            # 1024) and at canonical sizes makes the compiler
+            # materialize a full field plane in VMEM (measured r5:
+            # C=256 → 412 MB 'scratch operand' OOM); larger batches
+            # should raise B (blocks run under lax.map: B=512 →
+            # 1,093 col/s canonical) — not C
+            C = min(C, 128)
     if not interpret:
         g_ok = [d for d in (16, 8, 4, 2, 1)
                 if L % d == 0 and d * C <= 1024 and (d * C) % 128 == 0]

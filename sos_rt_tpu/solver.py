@@ -328,13 +328,20 @@ def solve_column(scene: Scene, tables: PhaseTables, grid: GridSpec,
 
 
 def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
-                        opts: SolverOptions, stencils: SweepStencils = None):
+                        opts: SolverOptions, stencils: SweepStencils = None,
+                        save_rows=None):
     """Solve keeping the per-order fields Iₙ (the reference's ``I_saved``
     list, main_lambertian.py:306-460, used by graphe_successive_dif).
 
-    Returns (Solution, i_orders (max_orders, L, 2M), order_valid
-    (max_orders,)) — slot k holds order k+1, masked by validity.  Uses a
-    static ``opts.max_orders`` buffer (fori_loop, no early exit).
+    Returns (Solution, i_orders, order_valid (max_orders,)) — slot k
+    holds order k+1, masked by validity.  Uses a static
+    ``opts.max_orders`` buffer (fori_loop, no early exit).
+
+    ``save_rows``: None keeps the full (max_orders, L, 2M) fields;
+    a static tuple of layer indices (negatives allowed) keeps only
+    those rows per order — (max_orders, len(save_rows), 2M) — so
+    batched sweeps can record the per-order read-set without
+    materializing B·K full fields (see :func:`solve_batch_orders`).
     """
     dtype = jnp.dtype(opts.dtype)
     M = grid.nb_angles
@@ -343,7 +350,12 @@ def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
     tol = jnp.asarray(opts.tol, dtype)
     K = opts.max_orders
 
-    buf = jnp.zeros((K,) + i1.shape, dtype).at[0].set(i1)
+    if save_rows is None:
+        sel = lambda f: f
+    else:
+        ridx = np.asarray([r % grid.nb_layers for r in save_rows])
+        sel = lambda f: f[ridx]
+    buf = jnp.zeros((K,) + sel(i1).shape, dtype).at[0].set(sel(i1))
     valid = jnp.zeros((K,), bool).at[0].set(True)
     ratio0 = jnp.asarray(2.0 * opts.tol, i1.dtype)
 
@@ -352,7 +364,7 @@ def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
         in_new = order_step(in_prev)
         active = ratio >= tol
         i_tot = jnp.where(active, i_tot + in_new, i_tot)
-        buf = buf.at[k].set(jnp.where(active, in_new, 0.0))
+        buf = buf.at[k].set(jnp.where(active, sel(in_new), 0.0))
         valid = valid.at[k].set(active)
         new_ratio = _ratio(in_new, i_tot, M)
         ratio = jnp.where(active, new_ratio, ratio)
@@ -364,3 +376,31 @@ def solve_column_orders(scene: Scene, tables: PhaseTables, grid: GridSpec,
     sol = Solution(i_total=i_tot, i1=i1, n_orders=n, converged=ratio < tol,
                    tau=tau, idx_up=idx_up, idx_down=idx_down)
     return sol, buf, valid
+
+
+def solve_batch_orders(scenes: Scene, tables: PhaseTables, grid: GridSpec,
+                       opts: SolverOptions, rows=(0, -1),
+                       stencils: SweepStencils = None):
+    """Batched per-order read-set (VERDICT r4 item 7): the one reference
+    output a batched user previously could not get — per-order rows for
+    every column of a sweep (the reference keeps ``I_saved`` for every
+    run, main_lambertian.py:460, and plots per-order diffusivity from
+    it, SOS_Aer_graphe.py:118-149).
+
+    Vmapped :func:`solve_column_orders` with ``save_rows=rows`` (default
+    TOA + surface — per-order TOA fluxes/diffusivity derive from these);
+    ``rows=None`` keeps full per-order fields (B·K·L·2M — small batches
+    only).  Returns (Solution with (B, ...) leaves, orders
+    (B, max_orders, len(rows), 2M), valid (B, max_orders)).
+    """
+    p0b = jnp.ndim(jnp.asarray(tables.p0_atm)) == 2
+    p0_ax = 0 if p0b else None
+
+    def one(scene, p0a, p0r):
+        tbl = tables if not p0b else dataclasses.replace(
+            tables, p0_atm=p0a, p0_aer=p0r)
+        return solve_column_orders(scene, tbl, grid, opts, stencils,
+                                   save_rows=rows)
+
+    return jax.vmap(one, in_axes=(0, p0_ax, p0_ax))(
+        scenes, tables.p0_atm, tables.p0_aer)

@@ -95,7 +95,7 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
               buckets: int = 1, block_b: int = 16, chunk: int = 0,
               out_dir: Optional[str] = None, resume: bool = False,
               mesh=None, stop_after_chunks: int = 0,
-              log=None) -> Dict[str, Any]:
+              log=None, save_orders: bool = False) -> Dict[str, Any]:
     """Run a (resumable) sweep; returns the aggregated metrics dict.
 
     ``chunk > 0`` with ``out_dir``: solve ``chunk`` columns at a time,
@@ -104,14 +104,34 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
     the index is rewritten atomically after each shard).
     ``stop_after_chunks > 0`` stops early after that many *newly solved*
     chunks (used by the kill-and-resume test).
+
+    ``save_orders``: additionally record the per-order TOA/surface rows
+    + validity per column (the reference's ``I_saved`` read-set,
+    main_lambertian.py:460) — solved through
+    :func:`sos_rt_tpu.solver.solve_batch_orders` (the vmapped reference
+    engine; ``engine``/``buckets`` are ignored, throughput is the
+    per-column path's).
     """
     import jax
 
     from sos_rt_tpu.parallel import solve_batch
+    from sos_rt_tpu.solver import solve_batch_orders
 
     def _log(msg):
         if log:
             log(msg)
+
+    def _solve(part, part_tbl):
+        """→ (solution, extra per-column shard arrays)."""
+        if save_orders:
+            sol, orders, valid = solve_batch_orders(
+                part, part_tbl, preset.grid, preset.opts)
+            return sol, {"orders_toa": np.asarray(orders[:, :, 0, :]),
+                         "orders_surface": np.asarray(orders[:, :, 1, :]),
+                         "order_valid": np.asarray(valid)}
+        return solve_batch(part, part_tbl, preset.grid, preset.opts,
+                           engine=engine, outputs=outputs, buckets=buckets,
+                           block_b=block_b, mesh=mesh), {}
 
     scenes, tables = build_sweep_batch(preset, batch, seed, mu0_pool)
     p0b = getattr(tables.p0_atm, "ndim", np.ndim(tables.p0_atm)) == 2
@@ -121,12 +141,12 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
     n_devices = int(mesh.devices.size) if mesh is not None else 1
     if chunk <= 0 or out_dir is None:
         t0 = time.perf_counter()
-        sol = _metrics.block_until_ready(solve_batch(
-            scenes, tables, preset.grid, preset.opts, engine=engine,
-            outputs=outputs, buckets=buckets, block_b=block_b, mesh=mesh))
+        sol, _extra = _solve(scenes, tables)
+        sol = _metrics.block_until_ready(sol)
         m = _metrics.solution_metrics(sol, time.perf_counter() - t0,
                                       n_devices=n_devices)
-        m["engine"], m["outputs"] = engine, outputs
+        m["engine"] = "orders" if save_orders else engine
+        m["outputs"] = outputs
         return m
 
     os.makedirs(out_dir, exist_ok=True)
@@ -137,7 +157,7 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
     g, o = preset.grid, preset.opts
     spec = {"preset": preset.name, "batch": batch, "seed": seed,
             "mu0_pool": mu0_pool, "chunk": chunk, "engine": engine,
-            "outputs": outputs,
+            "outputs": outputs, "save_orders": bool(save_orders),
             "grid": {"nb_angles": g.nb_angles, "nb_layers": g.nb_layers,
                      "spacing": getattr(g, "spacing", "uniform")},
             "opts": {"surface": o.surface, "dtype": o.dtype,
@@ -187,16 +207,16 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
                     part_tbl, p0_atm=padf(part_tbl.p0_atm),
                     p0_aer=padf(part_tbl.p0_aer))
         t0 = time.perf_counter()
-        sol = _metrics.block_until_ready(solve_batch(
-            part, part_tbl, preset.grid, preset.opts,
-            engine=engine, outputs=outputs, buckets=buckets,
-            block_b=block_b, mesh=mesh))
+        sol, extra = _solve(part, part_tbl)
+        sol = _metrics.block_until_ready(sol)
         if part_size < chunk:
             sol = take(sol, slice(0, part_size))
+            extra = {k: v[:part_size] for k, v in extra.items()}
         dt = time.perf_counter() - t0
         wall += dt
         solved_cols += part_size
         arrays = _summary_arrays(sol)
+        arrays.update(extra)
         # np.savez appends .npz if missing — keep the suffix on the temp
         tmp = _shard_path(out_dir, i)[:-4] + ".tmp.npz"
         np.savez_compressed(tmp, **arrays)

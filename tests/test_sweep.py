@@ -135,3 +135,46 @@ def test_partial_final_chunk_padded(tmp_path, small_preset):
     ref = load_sweep(out2)
     np.testing.assert_allclose(res["i_toa"], ref["i_toa"], rtol=1e-6)
     np.testing.assert_array_equal(res["n_orders"], ref["n_orders"])
+
+
+@pytest.mark.slow
+def test_sweep_save_orders_matches_single_column(tmp_path, small_preset):
+    """--save-orders shard arrays (per-order TOA/surface rows, VERDICT
+    r4 item 7 / the reference's I_saved read-set) equal the per-column
+    solve_column_orders rows for every column."""
+    import jax
+
+    from sos_rt_tpu.solver import solve_column_orders
+
+    preset = dataclasses.replace(
+        small_preset,
+        opts=dataclasses.replace(small_preset.opts, dtype="float64",
+                                 max_orders=25))
+    out = str(tmp_path / "orders")
+    m = run_sweep(preset, 6, seed=2, mu0_pool=2, chunk=3, out_dir=out,
+                  save_orders=True)
+    assert m["complete"]
+    scenes, tables = build_sweep_batch(preset, 6, seed=2, mu0_pool=2)
+
+    got_toa, got_srf, got_valid = [], [], []
+    for i in range(2):
+        with np.load(os.path.join(out, f"shard_{i:05d}.npz")) as z:
+            got_toa.append(z["orders_toa"])
+            got_srf.append(z["orders_surface"])
+            got_valid.append(z["order_valid"])
+    got_toa = np.concatenate(got_toa)
+    got_srf = np.concatenate(got_srf)
+    got_valid = np.concatenate(got_valid)
+    assert got_toa.shape == (6, 25, 64)
+
+    for i in range(6):
+        scene_i = jax.tree_util.tree_map(lambda x: x[i], scenes)
+        tbl_i = dataclasses.replace(tables, p0_atm=tables.p0_atm[i],
+                                    p0_aer=tables.p0_aer[i])
+        _, buf, valid = solve_column_orders(scene_i, tbl_i, preset.grid,
+                                            preset.opts)
+        np.testing.assert_array_equal(got_valid[i], np.asarray(valid))
+        np.testing.assert_allclose(got_toa[i], np.asarray(buf[:, 0, :]),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(got_srf[i], np.asarray(buf[:, -1, :]),
+                                   rtol=1e-12, atol=1e-14)
