@@ -116,7 +116,10 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     VMEM-resident kernel is infeasible for the grid (e.g. the canonical
     501×800 production grid, SOS_Aer_main_lambertian.py:33,57 — the
     VERDICT r4 item-1 path, previously a fused-engine fallback at ~300
-    col/s).  Forces ``i1='host'``.
+    col/s).  Both i1 modes work streamed; 'kernel' (default) evaluates
+    I₁ in a streamed init pass (ops/megastream._passI_kernel) instead
+    of materializing (B, L, 2M) host-side (~30% of the canonical solve,
+    r5 ablation).
     """
     from sos_rt_tpu.ops import megakernel as mk
 
@@ -189,7 +192,6 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             stream = C < 32 or not g_ok0
     stream = bool(stream)
     if stream:
-        i1 = "host"         # the streamed passes read I₁ from HBM planes
         if user_cpb is None:
             # the whole-field VMEM heuristic above does NOT apply to the
             # streamed execution (fields live in HBM) — use a full lane
@@ -370,12 +372,19 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     if stream:
         from sos_rt_tpu.ops import megastream as ms
 
+        if i1 == "kernel":
+            init_kw = dict(i1c=call_kw["i1c"], surface=opts.surface)
+            init_args = ()
+        else:
+            init_kw = {}
+            init_args = (half_to_lanes(i1t[:, :, :M]),
+                         half_to_lanes(i1t[:, :, M:]))
         res = ms.stream_order_loop(
-            pack, cpar, ops, ws,
-            half_to_lanes(i1t[:, :, :M]), half_to_lanes(i1t[:, :, M:]),
+            pack, cpar, ops, ws, *init_args,
             nb_angles=M, tol=float(opts.tol),
             max_orders=int(opts.max_orders), cols_per_block=C, mm=mm,
-            interpret=interpret, outputs=outputs, ablate=ablate)
+            interpret=interpret, outputs=outputs, ablate=ablate,
+            **init_kw)
         stats = res[-1]
         n_orders = stats[mk.ST_N].astype(jnp.int32)
         converged = stats[mk.ST_CONV] > 0.5
@@ -389,7 +398,8 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 tau=tau[:B], idx_up=idx_up[:B], idx_down=idx_down[:B])
         i_total = jnp.concatenate(
             [half_from_lanes(res[0]), half_from_lanes(res[1])], axis=2)[:B]
-        return Solution(i_total=i_total, i1=jnp.swapaxes(i1t, 0, 1)[:B],
+        i1_out = None if i1t is None else jnp.swapaxes(i1t, 0, 1)[:B]
+        return Solution(i_total=i_total, i1=i1_out,
                         n_orders=n_orders[:B], converged=converged[:B],
                         tau=tau[:B], idx_up=idx_up[:B],
                         idx_down=idx_down[:B])

@@ -195,6 +195,76 @@ def _smooth_up(v, rowf, m: int, murow):
     return jnp.where(do, blended, v)
 
 
+def make_i1_block(til, emu_dn, ivup, row0_c, lastrow_c, constc, pka, pkr,
+                  lamb: bool, M: int):
+    """Shared in-kernel I₁ evaluator: the closed-form first order
+    (ops/first_order.py::first_order) regrouped into per-(layer, column)
+    scalars + per-angle tiles (see ``first_order_mega_inputs``).
+
+    Used by the VMEM-resident kernel's ``pre`` and the HBM-streaming
+    engine's I₁ init pass (ops/megastream.py::_passI_kernel).  Inputs:
+    ``til(i)`` returns per-angle tile i as (M, C); ``emu_dn``/``ivup``/
+    ``pka``/``pkr`` are (M, 1) per-angle columns; ``row0_c``/
+    ``lastrow_c`` the µ=0⁺ / µ=0⁻+pad row masks (M, C); ``constc`` the
+    (1, C) Lambertian surface constant row.  Returns
+    ``i1_block(pk, eout, et, sl) -> (i1_down, i1_up)``, each (M, C)."""
+    from sos_rt_tpu.ops import first_order as fo
+
+    def i1_block(pk, eout, et, sl):
+        """I₁ halves for one C-column layer slice (each (M, C))."""
+        s = lambda row: pk[row:row + 1, sl]              # (1, C)
+        ca = 4.0 * s(PK_COEF_ATM)        # exact: coef rows are ca/4
+        cr = 4.0 * s(PK_COEF_AER)
+        reg = s(PK_REGION)
+        in_a, in_b = reg < 0.5, reg < 1.5
+        sel = lambda va, vb, vc: jnp.where(
+            in_a, va, jnp.where(in_b, vb, vc))
+        e0t, es0t = s(PK_E0T), s(PK_ES0T)
+        clexp = lambda x: jnp.exp(jnp.minimum(x, 0.0))
+        # ---- down half (row M-1 = µ=0⁻: att terms masked off) ----
+        attb = jnp.where(lastrow_c, 0.0, clexp(s(PK_ABDN) * emu_dn))
+        atts = jnp.where(lastrow_c, 0.0, clexp(s(PK_ASDN) * emu_dn))
+        dirn = ((ca * til(fo.T_DDA) + cr * til(fo.T_DDR))
+                * (e0t - s(PK_E0RDN) * attb))
+        dres = (ca * til(fo.T_DBA) + cr * til(fo.T_DBR)) \
+            * e0t * s(PK_ABDN)
+        dirn = jnp.where(til(fo.T_RESDN) > 0.5, dres, dirn)
+        if lamb:
+            rowsel = ca * eout[:M, sl] + cr * eout[M:2 * M, sl]
+            sck = sel(til(fo.T_SCKDNA), til(fo.T_SCKDNB),
+                      til(fo.T_SCKDNC))
+            surf = constc * (rowsel - atts * sck)
+        else:
+            surf = ((ca * til(fo.T_DMA) + cr * til(fo.T_DMR))
+                    * (es0t - s(PK_ESRDN) * atts))
+        before = sel(jnp.zeros_like(attb), til(fo.T_ROWA),
+                     til(fo.T_ROWB))
+        i1d = dirn + surf + before * attb
+        # ---- up half (row 0 = µ=0⁺: att terms masked off) ----
+        attbu = jnp.where(row0_c, 0.0, clexp(s(PK_ABUP) * ivup))
+        attsu = jnp.where(row0_c, 0.0, clexp(s(PK_ASUP) * ivup))
+        diru = ((ca * til(fo.T_UDA) + cr * til(fo.T_UDR))
+                * (e0t - s(PK_E0RUP) * attbu))
+        if lamb:
+            rowsel = ca * eout[2 * M:3 * M, sl] + cr * eout[3 * M:, sl]
+            sck = sel(til(fo.T_SCKUPA), til(fo.T_SCKUPB),
+                      til(fo.T_SCKUPC))
+            lim = (ivup * et[:, sl] * (-s(PK_ASUP))
+                   * (ca * pka + cr * pkr) * constc)
+            surf = constc * (rowsel - attsu * sck) + lim
+        else:
+            surf = ((ca * til(fo.T_UMA) + cr * til(fo.T_UMR))
+                    * (es0t - s(PK_ESRUP) * attsu))
+            sres = (ca * til(fo.T_UBA) + cr * til(fo.T_UBR)) \
+                * es0t * (-s(PK_ASUP))
+            surf = jnp.where(til(fo.T_RESUP) > 0.5, sres, surf)
+        before = sel(til(fo.T_ROWBU), til(fo.T_ROWC), til(fo.T_BC))
+        i1u = diru + surf + before * attbu
+        return i1d, i1u
+
+    return i1_block
+
+
 def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
                  mm: str, ablate: str = "", summary: bool = False,
                  i1_kernel: bool = False, lamb: bool = True):
@@ -260,65 +330,13 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     # (ops/first_order.py::first_order regrouped; see
     # first_order_mega_inputs for the host-side part) ----
     if i1_kernel:
-        from sos_rt_tpu.ops import first_order as fo
-
         constc = cpar_ref[CP_CONST:CP_CONST + 1, :]          # (1, C)
         pka = colc_ref[RC_PKA, :, 0:1]                       # (M, 1)
         pkr = colc_ref[RC_PKR, :, 0:1]
         lastrow_c = rowf_c > mr - 1.5               # µ=0⁻ row + pad rows
         til = lambda i: tiles_ref[i]                         # (M, C)
-
-        def i1_block(pk, eout, et, sl):
-            """I₁ halves for one C-column layer slice (each (M, C))."""
-            s = lambda row: pk[row:row + 1, sl]              # (1, C)
-            ca = 4.0 * s(PK_COEF_ATM)        # exact: coef rows are ca/4
-            cr = 4.0 * s(PK_COEF_AER)
-            reg = s(PK_REGION)
-            in_a, in_b = reg < 0.5, reg < 1.5
-            sel = lambda va, vb, vc: jnp.where(
-                in_a, va, jnp.where(in_b, vb, vc))
-            e0t, es0t = s(PK_E0T), s(PK_ES0T)
-            clexp = lambda x: jnp.exp(jnp.minimum(x, 0.0))
-            # ---- down half (row M-1 = µ=0⁻: att terms masked off) ----
-            attb = jnp.where(lastrow_c, 0.0, clexp(s(PK_ABDN) * emu_dn))
-            atts = jnp.where(lastrow_c, 0.0, clexp(s(PK_ASDN) * emu_dn))
-            dirn = ((ca * til(fo.T_DDA) + cr * til(fo.T_DDR))
-                    * (e0t - s(PK_E0RDN) * attb))
-            dres = (ca * til(fo.T_DBA) + cr * til(fo.T_DBR)) \
-                * e0t * s(PK_ABDN)
-            dirn = jnp.where(til(fo.T_RESDN) > 0.5, dres, dirn)
-            if lamb:
-                rowsel = ca * eout[:M, sl] + cr * eout[M:2 * M, sl]
-                sck = sel(til(fo.T_SCKDNA), til(fo.T_SCKDNB),
-                          til(fo.T_SCKDNC))
-                surf = constc * (rowsel - atts * sck)
-            else:
-                surf = ((ca * til(fo.T_DMA) + cr * til(fo.T_DMR))
-                        * (es0t - s(PK_ESRDN) * atts))
-            before = sel(jnp.zeros_like(attb), til(fo.T_ROWA),
-                         til(fo.T_ROWB))
-            i1d = dirn + surf + before * attb
-            # ---- up half (row 0 = µ=0⁺: att terms masked off) ----
-            attbu = jnp.where(row0_c, 0.0, clexp(s(PK_ABUP) * ivup))
-            attsu = jnp.where(row0_c, 0.0, clexp(s(PK_ASUP) * ivup))
-            diru = ((ca * til(fo.T_UDA) + cr * til(fo.T_UDR))
-                    * (e0t - s(PK_E0RUP) * attbu))
-            if lamb:
-                rowsel = ca * eout[2 * M:3 * M, sl] + cr * eout[3 * M:, sl]
-                sck = sel(til(fo.T_SCKUPA), til(fo.T_SCKUPB),
-                          til(fo.T_SCKUPC))
-                lim = (ivup * et[:, sl] * (-s(PK_ASUP))
-                       * (ca * pka + cr * pkr) * constc)
-                surf = constc * (rowsel - attsu * sck) + lim
-            else:
-                surf = ((ca * til(fo.T_UMA) + cr * til(fo.T_UMR))
-                        * (es0t - s(PK_ESRUP) * attsu))
-                sres = (ca * til(fo.T_UBA) + cr * til(fo.T_UBR)) \
-                    * es0t * (-s(PK_ASUP))
-                surf = jnp.where(til(fo.T_RESUP) > 0.5, sres, surf)
-            before = sel(til(fo.T_ROWBU), til(fo.T_ROWC), til(fo.T_BC))
-            i1u = diru + surf + before * attbu
-            return i1d, i1u
+        i1_block = make_i1_block(til, emu_dn, ivup, row0_c, lastrow_c,
+                                 constc, pka, pkr, lamb, M)
 
     def pre(g, _):
         hdn = pack_ref[g, PK_HDT_DN:PK_HDT_DN + 1, :]       # (1, GC)

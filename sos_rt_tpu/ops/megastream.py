@@ -54,7 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sos_rt_tpu.ops.megakernel import (
     BIGF,
+    CP_CONST,
     CP_GRD,
+    PK_ASTAR,
     PK_CDN,
     PK_CHOICE,
     PK_COEF_AER,
@@ -70,8 +72,11 @@ from sos_rt_tpu.ops.megakernel import (
     RC_IVDN,
     RC_IVUP,
     RC_MUUP,
+    RC_PKA,
+    RC_PKR,
     _dot3,
     _smooth_up,
+    make_i1_block,
 )
 
 
@@ -230,6 +235,42 @@ def _passB_kernel(pack_ref, sdn_ref, jnup_ref, cpar_ref, colc_ref,
     fdn_ref[0] = fv
 
 
+def _passI_kernel(pack_ref, tiles_ref, cpar_ref, colc_ref, astk_hi, astk_lo,
+                  fdn_ref, fup_ref, *, mm: str, G: int, C: int,
+                  nb_angles: int, lamb: bool):
+    """I₁ init pass: evaluate the closed-form first order per chunk and
+    write the HBM half-field planes — the streamed twin of the resident
+    kernel's ``pre`` (the host-side I₁ materialization + lane transposes
+    were ~30% of the canonical solve, the r5 ablation's 'fixed' share).
+    tiles (NI, M, C) are per-COLUMN constants (replicated across the
+    grid); pack carries the I1_PACK_KEYS rows (i1='kernel' assembly)."""
+    M = fdn_ref.shape[1]
+    GC = G * C
+    mr = nb_angles
+    dtype = fdn_ref.dtype
+    dot3 = functools.partial(_dot3, mm=mm, dtype=dtype)
+    rowf_c = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0).astype(dtype)
+    row0_c = rowf_c < 0.5
+    lastrow_c = rowf_c > mr - 1.5
+    rowf_g = jax.lax.broadcasted_iota(jnp.int32, (M, GC), 0).astype(dtype)
+    emu_dn = colc_ref[RC_EMU_DN, :, 0:1]
+    ivup = colc_ref[RC_IVUP, :, 0:1]
+    pka = colc_ref[RC_PKA, :, 0:1]
+    pkr = colc_ref[RC_PKR, :, 0:1]
+    constc = cpar_ref[CP_CONST:CP_CONST + 1, :]
+    i1_block = make_i1_block(lambda i: tiles_ref[i], emu_dn, ivup,
+                             row0_c, lastrow_c, constc, pka, pkr, lamb, M)
+    pk = pack_ref[0]
+    astar = pk[PK_ASTAR:PK_ASTAR + 1, :]                 # (1, GC)
+    et = jnp.where(rowf_g < 0.5, 0.0, jnp.exp(astar * ivup))
+    eout = dot3(astk_hi, astk_lo, et) if lamb else et
+    for k in range(G):
+        sl = slice(k * C, (k + 1) * C)
+        i1d, i1u = i1_block(pk, eout, et, sl)
+        fdn_ref[0, :, sl] = i1d
+        fup_ref[0, :, sl] = i1u
+
+
 def _rep(shape):
     return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
@@ -245,19 +286,25 @@ def _rev_spec(r, ng):
                         memory_space=pltpu.VMEM)
 
 
-def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
-                      tol: float, max_orders: int, cols_per_block: int,
-                      mm: str, interpret: bool = False,
-                      outputs: str = "summary", ablate: str = ""):
+def stream_order_loop(pack, cpar, ops, ws, i1dn=None, i1up=None, *,
+                      nb_angles: int, tol: float, max_orders: int,
+                      cols_per_block: int, mm: str, interpret: bool = False,
+                      outputs: str = "summary", ablate: str = "",
+                      i1c=None, surface: str = "lambertian"):
     """Run the streamed whole-solve order loop.
 
-    pack: (NG, PK_W, nblk·G·C); cpar: (CP_W, B); i1dn/i1up: (NG, M,
-    nblk·G·C) angle-major first-order half fields (the 'host' i1 mode of
-    fused.solve_batch_mega).  Returns, like megakernel.mega_call:
+    pack: (NG, PK_W, nblk·G·C); cpar: (CP_W, B).  First-order init:
+    either ``i1dn``/``i1up`` (NG, M, nblk·G·C) angle-major half fields
+    (the 'host' i1 mode of fused.solve_batch_mega), or ``i1c`` — the
+    in-kernel I₁ inputs dict (tiles (NI, M, B), astk split operator,
+    colc_pk rows; same contract as megakernel.mega_call) evaluated by a
+    streamed init pass, which removes the host-side (B, L, 2M)
+    materialization + lane transposes (~30% of the canonical solve,
+    r5 ablation).  Returns, like megakernel.mega_call:
     summary → (toa_dn, toa_up, srf_dn, srf_up (M, B), stats (3, B));
     full → (itot_dn, itot_up (NG, M, nblk·G·C), stats)."""
     NG, PKW, GB = pack.shape
-    M = i1dn.shape[1]
+    M = i1c["tiles"].shape[1] if i1c is not None else i1dn.shape[1]
     C = cols_per_block
     B = cpar.shape[1]
     G = GB // B
@@ -267,6 +314,13 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
     mr = nb_angles
     ws_hi, ws_lo = ws
     colc = ops["colc"]
+    if i1c is not None:
+        # append the per-angle excised-singularity columns (RC_PKA/RC_PKR)
+        pk2 = jnp.broadcast_to(
+            jnp.asarray(i1c["colc_pk"], dtype)[:, :, None],
+            (2, colc.shape[1], colc.shape[2]))
+        colc = jnp.concatenate([colc, pk2], axis=0)
+        astk_hi, astk_lo = i1c["astk"]
     wall_hi, wall_lo = ops["wall"]
     place_hi, place_lo = ops["place"]
     bc_hi, bc_lo = ops["bcmat"]
@@ -276,10 +330,27 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
     kernA = functools.partial(_passA_kernel, mm=mm, G=G, C=C, ab=ab)
     kernB = functools.partial(_passB_kernel, mm=mm, G=G, C=C,
                               nb_angles=mr, ab=ab)
+    kernI = functools.partial(_passI_kernel, mm=mm, G=G, C=C,
+                              nb_angles=mr, lamb=surface == "lambertian")
     fshape = jax.ShapeDtypeStruct((NG, M, GC), dtype)
     cparams = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=128 * 1024 * 1024)
+
+    def passI(pack_b, cpar_b, tiles_b):
+        return pl.pallas_call(
+            kernI,
+            grid_spec=pl.GridSpec(
+                grid=(NG,),
+                in_specs=[_fwd((PKW, GC)), _rep(tiles_b.shape),
+                          _rep(cpar_b.shape), _rep(colc.shape),
+                          _rep(astk_hi.shape), _rep(astk_lo.shape)],
+                out_specs=[_fwd((M, GC)), _fwd((M, GC))],
+            ),
+            out_shape=[fshape, fshape],
+            compiler_params=cparams,
+            interpret=interpret,
+        )(pack_b, tiles_b, cpar_b, colc, astk_hi, astk_lo)
 
     def passA(pack_b, fdn, fup):
         return pl.pallas_call(
@@ -335,7 +406,11 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
     last = slice(GC - C, GC)
 
     def solve_block(blk):
-        pack_b, cpar_b, fdn0, fup0 = blk
+        if i1c is not None:
+            pack_b, cpar_b, tiles_b = blk
+            fdn0, fup0 = passI(pack_b, cpar_b, tiles_b)
+        else:
+            pack_b, cpar_b, fdn0, fup0 = blk
         t_dn = fdn0[0][:, 0:C]
         t_up = fup0[0][:, 0:C]
         s_dn = fdn0[NG - 1][:, last]
@@ -398,8 +473,13 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn, i1up, *, nb_angles: int,
             2, 0, 1, 3)
 
     blk_in = (blocked3(pack),
-              cpar.reshape(cpar.shape[0], nblk, C).transpose(1, 0, 2),
-              blocked3(i1dn), blocked3(i1up))
+              cpar.reshape(cpar.shape[0], nblk, C).transpose(1, 0, 2))
+    if i1c is not None:
+        tiles = i1c["tiles"]                             # (NI, M, B)
+        blk_in += (tiles.reshape(tiles.shape[0], M, nblk, C)
+                   .transpose(2, 0, 1, 3),)
+    else:
+        blk_in += (blocked3(i1dn), blocked3(i1up))
     if nblk == 1:
         out = tuple(x[None] for x in solve_block(
             tuple(x[0] for x in blk_in)))
