@@ -263,6 +263,9 @@ def cmd_sweep(args):
     if getattr(args, "mm", None):
         p = dataclasses.replace(
             p, opts=dataclasses.replace(p.opts, mm=args.mm))
+    if getattr(args, "dtype", None):
+        p = dataclasses.replace(
+            p, opts=dataclasses.replace(p.opts, dtype=args.dtype))
     batch = args.batch or p.batch or 1024
     engine = args.engine or ("mega" if p.batch else "reference")
     outputs = "full" if (args.full or engine != "mega") else "summary"
@@ -357,6 +360,10 @@ def main(argv=None):
     sw.add_argument("--buckets", type=int, default=1,
                     help="convergence-homogeneous bucketing")
     sw.add_argument("--block-b", type=int, default=16, dest="block_b")
+    sw.add_argument("--dtype", choices=["float32", "float64"],
+                    help="override the preset compute dtype (batched "
+                         "sweeps of f64 presets, e.g. eva, want float32 "
+                         "on TPU — the production engines' dtype)")
     sw.add_argument("--save-orders", action="store_true",
                     dest="save_orders",
                     help="record per-order TOA/surface rows + validity "
