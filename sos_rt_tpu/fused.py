@@ -73,6 +73,55 @@ def _to_summary(sol: Solution) -> SweepSummary:
                         idx_down=sol.idx_down)
 
 
+PREDICT_MIN_BATCH = 4096      # below this the predictor solve isn't worth it
+PREDICT_ANGLES = 8            # coarse predictor grid (µ nodes per half)
+PREDICT_LAYERS = 16
+
+
+def predict_order_count(scenes: Scene, tables: PhaseTables, grid: GridSpec,
+                        opts: SolverOptions, interpret: bool | None = None,
+                        min_batch: int | None = None):
+    """Per-column scattering-order prediction by a coarse-grid solve.
+
+    The block/bucket sort key decides how homogeneous each mega block's
+    convergence is; r5 measured ~26% of the headline wall time as
+    straggler cost (each 128-column block runs to its slowest member)
+    under the closed-form heuristic (mesh.order_count_score).  Solving
+    the SAME physics on a µ/τ-subsampled grid predicts the true order
+    counts far better (corr 0.95 vs the fine solve; per-128-block
+    straggler sum 6213 → ~4750 vs the ideal 4119 on the headline batch,
+    BASELINE r5) at ~0.2 µs/column: the coarse tables are SUBSAMPLED
+    from the caller's tables (uniform grids where (M-1) divides by
+    (PREDICT_ANGLES-1) — no phase-model specs needed), and the coarse
+    mega solve runs C=1024 lane-filled blocks.
+
+    Returns the (B,) coarse order counts, or None when prediction does
+    not apply (non-uniform grid, non-divisible M, small batch) — the
+    caller falls back to the heuristic.
+    """
+    m = grid.nb_angles
+    mc, lc = PREDICT_ANGLES, PREDICT_LAYERS
+    B = jnp.shape(jnp.asarray(scenes.mu0))[0]
+    if min_batch is None:
+        min_batch = PREDICT_MIN_BATCH
+    if (B < min_batch or getattr(grid, "spacing", "uniform") != "uniform"
+            or (m - 1) % (mc - 1) or m <= mc):
+        return None
+    stride = (m - 1) // (mc - 1)
+    idx = np.arange(0, m, stride)
+    full_idx = np.concatenate([idx, m + idx])
+    cg = GridSpec(nb_angles=mc, nb_layers=lc)
+    ct = PhaseTables(
+        p0_atm=jnp.asarray(tables.p0_atm)[..., full_idx],
+        p_atm=jnp.asarray(tables.p_atm)[np.ix_(full_idx, full_idx)],
+        p0_aer=jnp.asarray(tables.p0_aer)[..., full_idx],
+        p_aer=jnp.asarray(tables.p_aer)[np.ix_(full_idx, full_idx)])
+    sol = solve_batch_mega(scenes, ct, cg, opts, outputs="summary",
+                           cols_per_block=None if interpret else 1024,
+                           interpret=interpret, sort=False)
+    return sol.n_orders
+
+
 def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                      opts: SolverOptions, cols_per_block: int | None = None,
                      interpret: bool | None = None, sort: bool = True,
@@ -87,10 +136,14 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     to :func:`solve_batch_fused` when the grid needs the small-µ machinery
     (``mega_supported`` false).
 
-    ``sort`` pre-sorts columns by an order-count proxy so each block is
+    ``sort`` pre-sorts columns by an order-count key so each block is
     convergence-homogeneous (blocks exit their while_loop together instead
     of dragging fast columns to a slow straggler's trip count); results
     are returned in the caller's order, per-column values unchanged.
+    ``True`` keys on the closed-form proxy (mesh.order_count_score);
+    ``'predict'`` keys on a coarse-grid order-count pre-solve
+    (:func:`predict_order_count` — ~20% less straggler cost on the
+    headline batch, falling back to the proxy when inapplicable).
 
     ``mm`` selects the matmul precision mode: 'bf16x3' (manual 3-pass
     bf16 decomposition, ~1e-7 relative — the f32 default) or 'highest'
@@ -135,7 +188,16 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     if sort:
         from sos_rt_tpu.parallel.mesh import order_count_score
 
-        perm = jnp.argsort(order_count_score(scenes))
+        key = None
+        if sort == "predict":
+            key = predict_order_count(scenes, tables, grid, opts,
+                                      interpret=interpret)
+        if key is None:
+            key = order_count_score(scenes)
+        else:
+            # deterministic tie-break within equal predicted counts
+            key = key.astype(jnp.float32) + 1e-6 * order_count_score(scenes)
+        perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
         scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         if jnp.ndim(tables.p0_atm) == 2:

@@ -100,13 +100,15 @@ def _fused_solver(grid: GridSpec, opts: SolverOptions, block_b: int):
 @functools.lru_cache(maxsize=32)
 def _mega_solver(grid: GridSpec, opts: SolverOptions,
                  cols_per_block: Optional[int] = None,
-                 outputs: str = "full", allow_small: bool = False):
+                 outputs: str = "full", allow_small: bool = False,
+                 sort="score"):
     """Cached jitted whole-solve mega-kernel solver (ops/megakernel.py)."""
     from sos_rt_tpu.fused import solve_batch_mega
 
     return jax.jit(lambda s, t: solve_batch_mega(
         s, t, grid, opts, cols_per_block=cols_per_block, outputs=outputs,
-        allow_small=allow_small))
+        allow_small=allow_small,
+        sort="predict" if sort == "predict" else True))
 
 
 def mega_small_ok(scenes: Scene, grid: GridSpec) -> bool:
@@ -141,11 +143,18 @@ def mega_small_ok(scenes: Scene, grid: GridSpec) -> bool:
 def _bucketed_solver(grid: GridSpec, opts: SolverOptions, engine: str,
                      buckets: int, outputs: str, block_b: int,
                      cols_per_block: Optional[int], p0_batched: bool,
-                     allow_small: bool):
+                     allow_small: bool, sort="score"):
     """One jitted function for the whole convergence-bucketed pipeline:
-    sort by the order-count proxy, solve equal-size chunks (each bucket
-    exits its own while_loop at its local worst column), unsort."""
-    from sos_rt_tpu.fused import solve_batch_fused, solve_batch_mega
+    sort by the order-count key, solve equal-size chunks (each bucket
+    exits its own while_loop at its local worst column), unsort.
+
+    ``sort='predict'`` keys the sort on a coarse-grid order-count
+    pre-solve instead of the closed-form proxy (fused.
+    predict_order_count — measured ~20% less per-block straggler cost
+    on the headline batch, BASELINE r5); falls back to the proxy when
+    prediction does not apply."""
+    from sos_rt_tpu.fused import (predict_order_count, solve_batch_fused,
+                                  solve_batch_mega)
 
     if engine == "mega":
         # sort=False: the pipeline already sorted globally by the same
@@ -169,7 +178,14 @@ def _bucketed_solver(grid: GridSpec, opts: SolverOptions, engine: str,
     def run(scenes, tables):
         b = jnp.shape(jnp.asarray(scenes.mu0))[0]
         chunk = b // buckets
-        perm = jnp.argsort(order_count_score(scenes))
+        key = None
+        if sort == "predict":
+            key = predict_order_count(scenes, tables, grid, opts)
+        if key is None:
+            key = order_count_score(scenes)
+        else:
+            key = key.astype(jnp.float32) + 1e-6 * order_count_score(scenes)
+        perm = jnp.argsort(key)
         scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         if p0_batched:
             tables_s = dataclasses.replace(
@@ -249,7 +265,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
                 shard_tables: bool = False, buckets: int = 1,
                 engine: str = "reference", block_b: int = 16,
                 outputs: str = "full",
-                cols_per_block: Optional[int] = None):
+                cols_per_block: Optional[int] = None,
+                sort: str = "score"):
     """Solve a batch of columns; optionally sharded over ``mesh``.
 
     scenes: Scene pytree with (B,) leaves (see :func:`broadcast_scene`).
@@ -268,6 +285,12 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     ``cols_per_block`` (mega engine) overrides the kernel's per-block
     column count (VMEM-heuristic default; measured sweet spots in
     BASELINE.md: 128 at B=65536, 256 at B=32768).
+
+    ``sort='predict'`` (mega engine, unsharded) keys the convergence
+    sort/bucketing on a coarse-grid order-count pre-solve instead of
+    the closed-form proxy — ~20% less per-block straggler cost on the
+    headline batch (fused.predict_order_count; falls back to the proxy
+    when prediction does not apply).
     """
     if engine not in ("reference", "fused", "mega"):
         raise ValueError(f"unknown engine {engine!r}; "
@@ -291,7 +314,7 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
             p0b = jnp.ndim(tables.p0_atm) == 2
             return _bucketed_solver(grid, opts, engine, buckets, outputs,
                                     block_b, cols_per_block, p0b,
-                                    allow_small)(scenes, tables)
+                                    allow_small, sort)(scenes, tables)
         perm = jnp.argsort(order_count_score(scenes))
         sorted_scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         p0b = jnp.ndim(tables.p0_atm) == 2
@@ -323,7 +346,8 @@ def solve_batch(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     if mesh is None:
         if engine == "mega":
             return _mega_solver(grid, opts, cols_per_block, outputs=outputs,
-                                allow_small=allow_small)(scenes, tables)
+                                allow_small=allow_small,
+                                sort=sort)(scenes, tables)
         if engine == "fused":
             return _fused_solver(grid, opts, block_b)(scenes, tables)
         return _batched_solver(grid, opts,

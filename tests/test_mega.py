@@ -208,3 +208,28 @@ def test_mega_bf16x5_mode_interpret():
     assert frac_off < 0.015, frac_off
     assert float(diff.max()) < 1e-3 * scale, float(diff.max())
     assert float(np.median(diff)) < 1e-8 * scale, float(np.median(diff))
+
+
+@pytest.mark.slow
+def test_mega_predict_sort_matches(monkeypatch):
+    """sort='predict' (coarse-grid order-count pre-solve as the block
+    sort key, r5) must return per-column results identical to the
+    unsorted solve — only the block composition changes."""
+    import sos_rt_tpu.fused as fz
+
+    monkeypatch.setattr(fz, "PREDICT_MIN_BATCH", 1)
+    grid = GridSpec(nb_angles=64, nb_layers=32)   # (M-1) % 7 == 0
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(4)
+    key = fz.predict_order_count(scenes, tables, grid, opts, interpret=True)
+    assert key is not None and key.shape == (4,)
+    assert int(jnp.min(key)) >= 1
+    plain = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                             interpret=True, sort=False)
+    pred = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                            interpret=True, sort="predict")
+    np.testing.assert_array_equal(np.asarray(pred.n_orders),
+                                  np.asarray(plain.n_orders))
+    np.testing.assert_array_equal(np.asarray(pred.i_total),
+                                  np.asarray(plain.i_total))
