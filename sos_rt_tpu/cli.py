@@ -280,7 +280,7 @@ def cmd_sweep(args):
         outputs=outputs, buckets=args.buckets, block_b=args.block_b,
         chunk=chunk, out_dir=args.output,
         resume=args.resume, mesh=mesh, log=log,
-        save_orders=args.save_orders)
+        save_orders=args.save_orders, sort=args.sort)
     m["preset"], m["batch_requested"] = args.preset, batch
     if "col_per_s" in m:
         log(f"{batch} columns: {m.get('wall_s', 0):.2f}s "
@@ -360,6 +360,11 @@ def main(argv=None):
     sw.add_argument("--buckets", type=int, default=1,
                     help="convergence-homogeneous bucketing")
     sw.add_argument("--block-b", type=int, default=16, dest="block_b")
+    sw.add_argument("--sort", choices=["predict", "score"],
+                    default="predict",
+                    help="mega-engine convergence-sort key: 'predict' = "
+                         "coarse-grid order pre-solve (+8%% headline), "
+                         "'score' = closed-form proxy")
     sw.add_argument("--dtype", choices=["float32", "float64"],
                     help="override the preset compute dtype (batched "
                          "sweeps of f64 presets, e.g. eva, want float32 "

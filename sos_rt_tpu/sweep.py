@@ -95,7 +95,8 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
               buckets: int = 1, block_b: int = 16, chunk: int = 0,
               out_dir: Optional[str] = None, resume: bool = False,
               mesh=None, stop_after_chunks: int = 0,
-              log=None, save_orders: bool = False) -> Dict[str, Any]:
+              log=None, save_orders: bool = False,
+              sort: str = "predict") -> Dict[str, Any]:
     """Run a (resumable) sweep; returns the aggregated metrics dict.
 
     ``chunk > 0`` with ``out_dir``: solve ``chunk`` columns at a time,
@@ -111,6 +112,11 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
     :func:`sos_rt_tpu.solver.solve_batch_orders` (the vmapped reference
     engine; ``engine``/``buckets`` are ignored, throughput is the
     per-column path's).
+
+    ``sort``: convergence-sort key for the mega engine — 'predict'
+    (default: coarse-grid order-count pre-solve, +8% measured on the
+    headline batch; falls back to the proxy when inapplicable) or
+    'score' (the closed-form proxy).  Meshed runs use 'score'.
     """
     import jax
 
@@ -131,7 +137,8 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
                          "order_valid": np.asarray(valid)}
         return solve_batch(part, part_tbl, preset.grid, preset.opts,
                            engine=engine, outputs=outputs, buckets=buckets,
-                           block_b=block_b, mesh=mesh), {}
+                           block_b=block_b, mesh=mesh,
+                           sort=sort if mesh is None else "score"), {}
 
     scenes, tables = build_sweep_batch(preset, batch, seed, mu0_pool)
     p0b = getattr(tables.p0_atm, "ndim", np.ndim(tables.p0_atm)) == 2

@@ -8,6 +8,7 @@ the same contract as the VMEM-resident kernel (tests/test_mega.py).
 """
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -146,3 +147,40 @@ def test_stream_canonical_like_small_mu():
     np.testing.assert_allclose(np.asarray(got.i_total),
                                np.asarray(ref.i_total),
                                rtol=1e-9, atol=1e-11 * scale)
+
+
+def test_stream_shard_mapped_matches_unsharded():
+    """The streamed engine composed with a device mesh (the multi-chip
+    canonical-grid story): shard_map over 'data', each device runs the
+    full streamed solve on its local columns — per-column results equal
+    the unsharded solve."""
+    import numpy as _np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    grid = GridSpec(nb_angles=56, nb_layers=64)
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(8)
+    plain = solve_batch_mega(scenes, tables, grid, opts, cols_per_block=2,
+                             interpret=True, stream=True, outputs="summary",
+                             sort=False)
+
+    devs = jax.devices("cpu")[:4]
+    mesh = Mesh(_np.array(devs).reshape(4, 1), ("data", "model"),
+                axis_types=(jax.sharding.AxisType.Auto,) * 2)
+    local = lambda s, t: solve_batch_mega(
+        s, t, grid, opts, cols_per_block=2, interpret=True, stream=True,
+        outputs="summary", sort=False)
+    d = P("data")
+    tbl_specs = jax.tree_util.tree_map(lambda _: P(), tables)
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(d, tbl_specs),
+                               out_specs=d, check_vma=False))
+    sharded = fn(scenes, tables)
+    np.testing.assert_array_equal(np.asarray(sharded.n_orders),
+                                  np.asarray(plain.n_orders))
+    np.testing.assert_allclose(np.asarray(sharded.i_toa),
+                               np.asarray(plain.i_toa),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sharded.i_surface),
+                               np.asarray(plain.i_surface),
+                               rtol=1e-12, atol=1e-14)
