@@ -157,7 +157,13 @@ def bench_sweep(batch=65536, reps=4, buckets=4, engine="mega", block_b=128,
     # roofline context (VERDICT r4 item 2): the dominant FLOPs are the
     # per-order stacked Jₙ source matmul, (L, 4Mp) @ (4Mp, 2Mp) per
     # column (ops/megakernel.py); bf16x3 runs each pass 3× on the MXU.
-    # v5e peak ≈ 197 TFLOP/s bf16.
+    # v5e peak ≈ 197 TFLOP/s bf16.  The pass model is the MEGA engine's
+    # — the fallback engines run different kernels/precisions, so no
+    # utilization estimate is emitted for them.
+    if engine != "mega":
+        log(f"sweep[{engine}]: {batch} columns in {dt*1e3:.1f} ms "
+            f"-> {rate:,.0f} col/s")
+        return rate, grid, engine, None
     from sos_rt_tpu.ops import megakernel as mk
 
     mp = mk.pad_angles(grid.nb_angles)

@@ -204,10 +204,16 @@ def cmd_critical_albedo(args):
     tables = _build(p, p.opts.dtype)
     taus = np.array([float(x) for x in args.tau_aer.split(",")])
     if args.num and args.num > len(taus):
-        # densify: geometric grid between the min/max of --tau-aer —
-        # the Haywood-curve batch demo (VERDICT r4 item 3)
-        taus = np.geomspace(taus.min(), max(taus.max(), taus.min() * 1.0001),
-                            args.num)
+        # densify between the min/max of --tau-aer — the Haywood-curve
+        # batch demo (VERDICT r4 item 3).  Geometric spacing needs a
+        # positive lower endpoint (geomspace raises on 0); fall back to
+        # linear when the list starts at τ*_aer ≤ 0.
+        lo, hi = float(taus.min()), float(taus.max())
+        hi = max(hi, lo + 1e-6)
+        if lo > 0:
+            taus = np.geomspace(lo, hi, args.num)
+        else:
+            taus = np.linspace(lo, hi, args.num)
     t0 = time.perf_counter()
     scenes = dataclasses.replace(broadcast_scene(p.scene, len(taus)),
                                  tau_star_aer=jnp.asarray(taus))

@@ -96,19 +96,32 @@ def predict_order_count(scenes: Scene, tables: PhaseTables, grid: GridSpec,
     mega solve runs C=1024 lane-filled blocks.
 
     Returns the (B,) coarse order counts, or None when prediction does
-    not apply (non-uniform grid, non-divisible M, small batch) — the
-    caller falls back to the heuristic.
+    not apply (float64 runs, non-uniform grids, small batches) — the
+    caller falls back to the heuristic.  When (M-1) is not divisible by
+    (PREDICT_ANGLES-1) the subsample uses the nearest fine nodes
+    (rounded linspace): the coarse tables are then sampled at slightly
+    offset µ than the coarse GridSpec assumes, which perturbs the
+    predicted physics a little but not the count correlation — only
+    order counts leave this function.
     """
     m = grid.nb_angles
     mc, lc = PREDICT_ANGLES, PREDICT_LAYERS
     B = jnp.shape(jnp.asarray(scenes.mu0))[0]
     if min_batch is None:
         min_batch = PREDICT_MIN_BATCH
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if (B < min_batch or getattr(grid, "spacing", "uniform") != "uniform"
-            or (m - 1) % (mc - 1) or m <= mc):
+            or m <= mc
+            or (opts.dtype == "float64" and not interpret)):
+        # compiled f64 excluded: the coarse solve would run the mega
+        # kernel in f64 on TPU (a verification-only dtype; not worth a
+        # predictor)
         return None
-    stride = (m - 1) // (mc - 1)
-    idx = np.arange(0, m, stride)
+    if (m - 1) % (mc - 1) == 0:
+        idx = np.arange(0, m, (m - 1) // (mc - 1))
+    else:
+        idx = np.round(np.linspace(0, m - 1, mc)).astype(np.int64)
     full_idx = np.concatenate([idx, m + idx])
     cg = GridSpec(nb_angles=mc, nb_layers=lc)
     ct = PhaseTables(
@@ -195,8 +208,12 @@ def solve_batch_mega(scenes: Scene, tables: PhaseTables, grid: GridSpec,
         if key is None:
             key = order_count_score(scenes)
         else:
-            # deterministic tie-break within equal predicted counts
-            key = key.astype(jnp.float32) + 1e-6 * order_count_score(scenes)
+            # secondary score ordering within equal predicted counts;
+            # the 1024 gap keeps the O(0.1–1) score term above f32 ulp
+            # at count-scale magnitudes (a 1e-6·score term would vanish
+            # below half-ulp and do nothing)
+            key = (key.astype(jnp.float32) * 1024.0
+                   + order_count_score(scenes))
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
         scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)

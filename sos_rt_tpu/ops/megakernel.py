@@ -195,6 +195,41 @@ def _smooth_up(v, rowf, m: int, murow):
     return jnp.where(do, blended, v)
 
 
+def band_fix_tile(fv, choice, zero_mask, *, wall_hi, wall_lo, place_hi,
+                  place_lo, pvt_ref, dot3, dtype):
+    """µ→0⁻ polyfit-band fix on an angle-major tile: zero the µ=0⁻ row,
+    evaluate all four band variants by static stencil matmuls from the
+    left, select per (layer, column).  Shared by the VMEM-resident
+    kernel and the HBM-streaming passes (ops/megastream.py) so the two
+    executions cannot drift."""
+    SLOT = wall_hi.shape[0] // 4
+    width = fv.shape[1]
+    fv = jnp.where(zero_mask, 0.0, fv)
+    polys = dot3(wall_hi, wall_lo, fv)                   # (4·SLOT, w)
+    band = polys[0:SLOT]
+    vsel = pvt_ref[0, :][:, None] * jnp.ones((1, width), dtype)
+    for c in range(1, 4):
+        sel = choice == c
+        band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT], band)
+        vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
+    placed = dot3(place_hi, place_lo, band)              # (M, w)
+    return jnp.where(vsel > 0.5, placed, fv)
+
+
+def ratio_rows_tile(new_top, tot_top, new_bot, tot_bot, real_c):
+    """Convergence criterion rows (main_lambertian.py:311): max ratio
+    over the TOA-up and surface-down tiles; pad rows AND zero-total
+    (degenerate-scene) entries are 0/0 — both masked out (0/0 counts as
+    converged).  Shared by both mega executions."""
+    def div(a, b):
+        ok = real_c & (b != 0)
+        return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+    r_toa = jnp.max(div(new_top, tot_top), axis=0, keepdims=True)
+    r_srf = jnp.max(div(new_bot, tot_bot), axis=0, keepdims=True)
+    return jnp.maximum(r_toa, r_srf)                     # (1, C)
+
+
 def make_i1_block(til, emu_dn, ivup, row0_c, lastrow_c, constc, pka, pkr,
                   lamb: bool, M: int):
     """Shared in-kernel I₁ evaluator: the closed-form first order
@@ -379,17 +414,8 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
     jax.lax.fori_loop(0, NG, pre, 0)
 
     def ratio_rows(new_top, tot_top, new_bot, tot_bot):
-        # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1; pad rows
-        # AND zero-total (degenerate-scene) entries are 0/0 — mask both
-        # out of the max (reference criterion spans only the real µ
-        # grid, main_lambertian.py:311; 0/0 counts as converged)
-        def div(a, b):
-            ok = real_c & (b != 0)
-            return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
-
-        r_toa = jnp.max(div(new_top, tot_top), axis=0, keepdims=True)
-        r_srf = jnp.max(div(new_bot, tot_bot), axis=0, keepdims=True)
-        return jnp.maximum(r_toa, r_srf)                     # (1, C)
+        # (M, C) up tiles at t=0; (M, C) down tiles at t=L-1
+        return ratio_rows_tile(new_top, tot_top, new_bot, tot_bot, real_c)
 
     # explicit above-tol seed (every block takes at least one step).
     # Built via a lane iota rather than a constant splat: a splat gets
@@ -449,22 +475,16 @@ def _mega_kernel(*refs, nb_angles: int, tol: float, max_orders: int,
         if "nopassA" not in ab:
             jax.lax.fori_loop(0, NG, passA, jnp.zeros((M, C), dtype))
 
-        # ---- polyfit-band fix, shared by the chunk loop and the BC
-        # precompute: zero row + static stencil matmuls from the left ----
-        def band_fix(fv, choice, zero_mask):
-            width = fv.shape[1]
-            fv = jnp.where(zero_mask, 0.0, fv)
-            if "nopoly" in ab:
-                return fv
-            polys = dot3(wall_hi, wall_lo, fv)               # (4·SLOT, w)
-            band = polys[0:SLOT]
-            vsel = pvt_ref[0, :][:, None] * jnp.ones((1, width), dtype)
-            for c in range(1, 4):
-                sel = choice == c
-                band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT], band)
-                vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
-            placed = dot3(place_hi, place_lo, band)          # (M, w)
-            return jnp.where(vsel > 0.5, placed, fv)
+        # ---- polyfit-band fix (band_fix_tile — shared with the
+        # streaming passes), used by the chunk loop and the BC
+        # precompute ----
+        if "nopoly" in ab:
+            band_fix = lambda fv, choice, zm: jnp.where(zm, 0.0, fv)
+        else:
+            band_fix = functools.partial(
+                band_fix_tile, wall_hi=wall_hi, wall_lo=wall_lo,
+                place_hi=place_hi, place_lo=place_lo, pvt_ref=pvt_ref,
+                dot3=dot3, dtype=dtype)
 
         zm_c = rowf_c > mr - 1.5        # µ=0⁻ + pad rows of a C tile
 

@@ -76,27 +76,10 @@ from sos_rt_tpu.ops.megakernel import (
     RC_PKR,
     _dot3,
     _smooth_up,
+    band_fix_tile,
     make_i1_block,
+    ratio_rows_tile,
 )
-
-
-def _band_fix(fv, choice, zero_mask, wall_hi, wall_lo, place_hi, place_lo,
-              pvt_ref, dot3, dtype):
-    """µ→0⁻ polyfit-band fix (identical to megakernel._mega_kernel's
-    band_fix): zero the µ=0⁻ row, evaluate all four band variants by
-    static stencil matmuls from the left, select per (layer, column)."""
-    SLOT = wall_hi.shape[0] // 4
-    width = fv.shape[1]
-    fv = jnp.where(zero_mask, 0.0, fv)
-    polys = dot3(wall_hi, wall_lo, fv)                   # (4·SLOT, w)
-    band = polys[0:SLOT]
-    vsel = pvt_ref[0, :][:, None] * jnp.ones((1, width), dtype)
-    for c in range(1, 4):
-        sel = choice == c
-        band = jnp.where(sel, polys[c * SLOT:(c + 1) * SLOT], band)
-        vsel = jnp.where(sel, pvt_ref[c, :][:, None], vsel)
-    placed = dot3(place_hi, place_lo, band)              # (M, w)
-    return jnp.where(vsel > 0.5, placed, fv)
 
 
 def _passA_kernel(pack_ref, fdn_ref, fup_ref, colc_ref, ws_hi, ws_lo,
@@ -162,8 +145,9 @@ def _passB_kernel(pack_ref, sdn_ref, jnup_ref, cpar_ref, colc_ref,
         bandfix = lambda fv, choice, zm: jnp.where(zm, 0.0, fv)
     else:
         bandfix = functools.partial(
-            _band_fix, wall_hi=wall_hi, wall_lo=wall_lo, place_hi=place_hi,
-            place_lo=place_lo, pvt_ref=pvt_ref, dot3=dot3, dtype=dtype)
+            band_fix_tile, wall_hi=wall_hi, wall_lo=wall_lo,
+            place_hi=place_hi, place_lo=place_lo, pvt_ref=pvt_ref,
+            dot3=dot3, dtype=dtype)
 
     rowf_c = jax.lax.broadcasted_iota(jnp.int32, (M, C), 0).astype(dtype)
     row0_c = rowf_c < 0.5
@@ -393,14 +377,8 @@ def stream_order_loop(pack, cpar, ops, ws, i1dn=None, i1up=None, *,
     real_c = rowf_c < mr                                 # non-pad rows
 
     def ratio_rows(new_top, tot_top, new_bot, tot_bot):
-        # identical to megakernel ratio_rows: pad rows and 0/0 masked out
-        def div(a, b):
-            ok = real_c & (b != 0)
-            return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
-
-        r_toa = jnp.max(div(new_top, tot_top), axis=0, keepdims=True)
-        r_srf = jnp.max(div(new_bot, tot_bot), axis=0, keepdims=True)
-        return jnp.maximum(r_toa, r_srf)                 # (1, C)
+        # shared with the resident kernel (megakernel.ratio_rows_tile)
+        return ratio_rows_tile(new_top, tot_top, new_bot, tot_bot, real_c)
 
     full = outputs == "full"
     last = slice(GC - C, GC)

@@ -57,17 +57,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
     if coordinator_address is None:
-        # pod detection: the env vars must look like real host lists
-        # (a hostname/host:port contains '.', ':' or ','); some
+        # pod detection: the env vars must look like real hosts — some
         # runtimes set them to single-token sentinels ("UNSET",
-        # "WARNING") which must not trigger initialize() — a missing
+        # "WARNING") which must not trigger initialize() (a missing
         # coordinator hangs startup, and only ValueError/RuntimeError
-        # are caught below.
-        pod = any(" " not in v and any(c in v for c in ".:,")
-                  for v in
+        # are caught below).  Sentinels are all-caps words; real values
+        # are hostnames/host:port/lists ("tpu-host-0.cluster,tpu-host-1"
+        # or a bare lowercase service name like "megascale-coordinator").
+        def looks_like_hosts(v: str) -> bool:
+            return (bool(v) and " " not in v
+                    and not v.replace("_", "").isupper())
+
+        pod = any(looks_like_hosts(v) for v in
                   (os.environ.get(k, "").strip() for k in
-                   ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
-                  if v)
+                   ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")))
         if pod:
             try:
                 jax.distributed.initialize()   # pod auto-configuration

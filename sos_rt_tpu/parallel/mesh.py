@@ -184,7 +184,10 @@ def _bucketed_solver(grid: GridSpec, opts: SolverOptions, engine: str,
         if key is None:
             key = order_count_score(scenes)
         else:
-            key = key.astype(jnp.float32) + 1e-6 * order_count_score(scenes)
+            # count-primary, score-secondary (1024 gap keeps the score
+            # term above f32 ulp — see fused.solve_batch_mega)
+            key = (key.astype(jnp.float32) * 1024.0
+                   + order_count_score(scenes))
         perm = jnp.argsort(key)
         scenes = jax.tree_util.tree_map(lambda x: x[perm], scenes)
         if p0_batched:

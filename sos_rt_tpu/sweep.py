@@ -140,6 +140,12 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
                            block_b=block_b, mesh=mesh,
                            sort=sort if mesh is None else "score"), {}
 
+    if save_orders and (chunk <= 0 or out_dir is None):
+        # the per-order arrays only leave through the shard files — a
+        # run that computes then discards them is a caller mistake
+        raise ValueError("save_orders=True requires chunk > 0 and an "
+                         "out_dir (the per-order arrays are written to "
+                         "the npz shards)")
     scenes, tables = build_sweep_batch(preset, batch, seed, mu0_pool)
     p0b = getattr(tables.p0_atm, "ndim", np.ndim(tables.p0_atm)) == 2
     # per-chip throughput divides by the devices actually used — the
@@ -243,7 +249,8 @@ def run_sweep(preset, batch: int, seed: int = 0, mu0_pool: int = 0,
         if stop_after_chunks and solved_now >= stop_after_chunks:
             break
 
-    m: Dict[str, Any] = {"engine": engine, "outputs": outputs,
+    m: Dict[str, Any] = {"engine": "orders" if save_orders else engine,
+                         "outputs": outputs,
                          "n_chunks": n_chunks,
                          "n_completed": len(done),
                          "complete": len(done) == n_chunks}
