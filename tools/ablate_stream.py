@@ -5,10 +5,12 @@ Runs the streamed whole-solve with a FIXED order count (noconv) and
 successively removes stages; the rate difference attributes time.
 Results are numerically wrong under ablation — timing only.
 
-Measured r5 (B=128, 11 orders, v5e): full 148.6 ms; Jₙ source matmul
-49.1% (≈95% MXU efficiency at bf16x3 — 6.6 ms/order vs the 6.3 ms
-floor); pass B entire 5.5% (smoothing 3.0%); fixed prelude ~30% before
-the in-kernel I₁ pass, ~10% after.
+Measured r5 final (B=128, 11 fixed orders, v5e, in-kernel I₁): full
+127 ms; Jₙ source matmul 50.9% (≈95% MXU efficiency at bf16x3 —
+6.6 ms/order vs the 6.3 ms floor); pass B entire ≤0.5% (noise); fixed
+cost (passes removed — passI + pack assembly + dispatch) 28.6 ms =
+22.5%.  Pre-passI (host-side I₁) the full run was 148.6 ms with a
+~30% fixed share.
 
 usage: python tools/ablate_stream.py [orders] [batch]
 """
