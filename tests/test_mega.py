@@ -233,3 +233,23 @@ def test_mega_predict_sort_matches(monkeypatch):
                                   np.asarray(plain.n_orders))
     np.testing.assert_array_equal(np.asarray(pred.i_total),
                                   np.asarray(plain.i_total))
+
+
+def test_predict_order_count_nondivisible_grid():
+    """(M-1) not divisible by (PREDICT_ANGLES-1) → the predictor
+    subsamples the nearest fine nodes (the canonical 501-angle case);
+    the returned counts must be valid positive order counts."""
+    import sos_rt_tpu.fused as fz
+
+    grid = GridSpec(nb_angles=51, nb_layers=40)   # 50 % 7 == 1
+    tables = _tables(grid)
+    opts = SolverOptions(surface="lambertian", dtype="float64")
+    scenes = _scenes(4)
+    key = fz.predict_order_count(scenes, tables, grid, opts,
+                                 interpret=True, min_batch=1)
+    assert key is not None and key.shape == (4,)
+    counts = np.asarray(key)
+    assert np.all(counts >= 1) and np.all(counts < 100)
+    # more optically thick lanes must not predict fewer orders than the
+    # thinnest lane (monotone physics sanity, not exactness)
+    assert counts[-1] >= counts[0]
